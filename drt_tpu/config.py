@@ -1,0 +1,59 @@
+"""Configuration for drt_tpu.
+
+Replaces the reference's hand-edited module (`config.py:18-40` HyperParams dict,
+plus the renderer's module-global mutation at `optim.py:178-182`) with an
+immutable dataclass threaded explicitly through every call — no global state.
+Default values mirror the reference exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class HyperParams:
+    """Optimization hyper-parameters (reference: config.py:18-40)."""
+
+    name: str = "pig"
+    ior: float = 1.4723          # interior index of refraction (config.py:22)
+    ext_ior: float = 1.00029     # air (DiffRender.py:21)
+    num_passes: int = 20         # 'Pass' (config.py:23)
+    iters: int = 200             # per-pass iterations (config.py:24)
+
+    # loss weights (config.py:27-30)
+    ray_w: float = 40.0
+    sm_w: float = 0.08
+    vh_w: float = 2e-3
+
+    # optimizer (config.py:33-38)
+    momentum: float = 0.95
+    start_lr: float = 0.1
+    lr_decay: float = 0.5
+    start_len: float = 10.0      # remesh target edge length schedule start
+    end_len: float = 1.0
+    num_view: int = 72           # views used for the refraction loss
+
+    # --- TPU-framework-specific knobs (no reference equivalent) ---
+    dtype: str = "float32"       # compute dtype for the differentiable path
+    backend: str = "auto"        # intersect backend: auto|brute|culled|pallas
+    silhouette_budget: Optional[int] = None  # static silhouette-edge budget
+    ray_chunk: int = 8192        # brute-force ray blocking
+    tri_chunk: int = 512         # brute-force triangle blocking
+    seed: int = 0
+    checkpoint_every_pass: bool = True
+
+    def replace(self, **kw) -> "HyperParams":
+        return dataclasses.replace(self, **kw)
+
+
+# Object → camera rig assignment (reference: optim.py:133-134)
+REDMI_OBJECTS = ("tiger", "pig", "horse", "rabbit")
+POINTGRAY_OBJECTS = ("hand", "mouse", "dog", "monkey")
+
+# Capture resolutions (reference: captured_data.py:90-91, 131-132)
+POINTGRAY_RES = (960, 1280)   # (resy, resx)
+REDMI_RES = (1080, 1920)
+
+DEFAULT_DATA_PATH = "/root/reference/data/"

@@ -1,0 +1,60 @@
+"""The hit oracle: closest ray-triangle intersection, non-differentiable.
+
+Replaces the reference's OptiX Prime C++ extension (optix_extend.cpp:29-57,
+called via Scene.optix_intersect, DiffRender.py:386-392). Key design split
+preserved from the reference (SURVEY.md §1): the oracle is a pure
+stop-gradient "which triangle does this ray hit" query; the differentiable
+(u,v,t,n) are recomputed by `geometry.mt.moller_trumbore` on the matched
+triangles, so no gradient ever depends on the oracle internals.
+
+Backends:
+- "brute":  blocked all-pairs Möller–Trumbore (jnp). Exact, CPU-runnable, the
+  "fake OptiX" for tests (SURVEY.md §4).
+- "culled": two-level AABB-cull intersector (jnp) — Morton-ordered triangle
+  chunks with bounding boxes; skips MT for chunks a ray block cannot hit.
+- "pallas": hand-written TPU kernel version of the culled traversal.
+
+All backends share the convention: returns Hits(t [N] f32, tri_id [N] i32)
+with tri_id == -1 and t == inf for misses (the reference encodes miss as
+t <= 0, DiffRender.py:391).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Hits(NamedTuple):
+    t: jnp.ndarray       # [N] float32, inf on miss
+    tri_id: jnp.ndarray  # [N] int32, -1 on miss
+
+    @property
+    def hit(self) -> jnp.ndarray:
+        return self.tri_id >= 0
+
+
+def get_intersect_fn(backend: str = "auto", **kw) -> Callable:
+    """Returns intersect(origins[N,3], dirs[N,3], vertices, faces, face_valid)
+    -> Hits. The returned callable is jit-safe and non-differentiable
+    (stop_gradient applied to its outputs)."""
+    if backend == "auto":
+        # "culled"/"pallas" swap in as they land; brute is always correct.
+        backend = "brute"
+    if backend == "brute":
+        from drt_tpu.intersect.brute import intersect_brute as fn
+    elif backend == "culled":
+        from drt_tpu.intersect.culled import intersect_culled as fn
+    elif backend == "pallas":
+        from drt_tpu.intersect.pallas_kernel import intersect_pallas as fn
+    else:
+        raise ValueError(f"unknown intersect backend: {backend}")
+
+    def wrapped(origins, dirs, vertices, faces, face_valid=None):
+        hits = fn(origins, dirs, vertices, faces, face_valid, **kw)
+        return Hits(jax.lax.stop_gradient(hits.t),
+                    jax.lax.stop_gradient(hits.tri_id))
+
+    return wrapped

@@ -1,0 +1,64 @@
+"""Pinhole camera model: ray generation and vertex projection.
+
+Mirrors the reference's conventions exactly:
+- `generate_ray` (captured_data.py:23-40): back-project the full pixel grid
+  with K^-1 then R^-1; ray origin is the camera center R^-1[:3,3].
+- `project_vert` / the projection inside `primary_visibility`
+  (DiffRender.py:459-490): world -> camera via the 4x4 "cam_proj" R, then K.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from drt_tpu.geometry.vec import safe_normalize
+
+
+class CameraM(NamedTuple):
+    """Camera matrices, as the reference's camera_M tuple
+    (captured_data.py:58)."""
+    R: jnp.ndarray          # [4,4] world->camera extrinsic ("cam_proj")
+    K: jnp.ndarray          # [3,3] intrinsics
+    R_inv: jnp.ndarray      # [4,4]
+    K_inv: jnp.ndarray      # [3,3]
+
+
+def generate_rays(resy: int, resx: int, camera: CameraM):
+    """Back-project every pixel. Returns (origin [N,3], dir [N,3] unit),
+    N = resy*resx, pixel (x,y) at row-major index y*resx + x.
+    Reference: captured_data.py:23-40 (note: pixel centers at integer
+    coordinates, z=1 plane, matching the reference)."""
+    K_inv = camera.K_inv
+    R_inv = camera.R_inv
+    dtype = K_inv.dtype
+    ys = jnp.arange(resy, dtype=dtype)
+    xs = jnp.arange(resx, dtype=dtype)
+    py, px = jnp.meshgrid(ys, xs, indexing="ij")
+    pz = jnp.ones_like(py)
+    pixel = jnp.stack([px, py, pz], axis=2).reshape(-1, 3)    # [N,3]
+    cam_p = pixel @ K_inv.T                                    # [N,3]
+    world_p = cam_p @ R_inv[:3, :3].T + R_inv[:3, 3]
+    origin = R_inv[:3, 3]
+    ray_dir = safe_normalize(world_p - origin)
+    return jnp.broadcast_to(origin, ray_dir.shape), ray_dir
+
+
+def project_vertices(camera: CameraM, V: jnp.ndarray,
+                     detach_depth: bool = False):
+    """Project world points to pixel coordinates [N,2] (float).
+
+    Reference: the projection block of primary_visibility
+    (DiffRender.py:466-474) and project_vert (DiffRender.py:481-490).
+    detach_depth stops gradient through the camera-space depth, as the
+    reference does for the silhouette loss (DiffRender.py:471)."""
+    import jax
+
+    ones = jnp.ones((*V.shape[:-1], 1), dtype=V.dtype)
+    v_h = jnp.concatenate([V, ones], axis=-1)                  # [N,4]
+    v_cam = v_h @ camera.R.T                                    # [N,4]
+    if detach_depth:
+        v_cam = v_cam.at[..., 2].set(jax.lax.stop_gradient(v_cam[..., 2]))
+    v_pix = v_cam[..., :3] @ camera.K.T                         # [N,3]
+    return v_pix[..., :2] / v_pix[..., 2:3]

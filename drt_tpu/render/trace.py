@@ -1,0 +1,109 @@
+"""The 2-bounce differentiable refraction trace — the hot path.
+
+Capability of the reference's `refract_ray` / `trace2` / `render_transparent`
+(DiffRender.py:420-432, 503-546), redesigned for TPU/XLA:
+
+- Static shapes + lane masking instead of dynamic ray compaction. The
+  reference shrinks the ray population with `Ray.select` after every TIR/miss
+  (DiffRender.py:279-283, 540-544), tracking original pixels via `ray_ind`.
+  Here every lane keeps its pixel identity by position; an `active` mask is
+  carried instead, so the whole trace is one fused XLA computation with no
+  dynamic shapes and no scatter at the end.
+- All math NaN-free on masked lanes: inactive lanes compute garbage-but-finite
+  values that are masked out, so reverse-mode AD never sees NaN.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax.numpy as jnp
+
+from drt_tpu.geometry.mt import moller_trumbore
+from drt_tpu.geometry.vec import dot3, fresnel_dielectric, refract
+
+
+class TraceResult(NamedTuple):
+    origin: jnp.ndarray     # [N,3] exit-ray origin (zeros where invalid)
+    direction: jnp.ndarray  # [N,3] exit-ray direction (zeros where invalid)
+    valid: jnp.ndarray      # [N] bool — refracted twice AND escaped the mesh
+
+
+def refract_ray(origin, direction, t, n, int_ior, ext_ior,
+                offset_eps: float = 1e-5):
+    """One refraction event at a hit point (reference refract_ray,
+    DiffRender.py:503-535): pick entering/exiting etas by the sign of
+    cos(theta_i), flip the normal for exiting rays, Snell-bend, advance the
+    origin by t and nudge it offset_eps along the new direction.
+
+    Returns (refracted [N] bool — False on TIR, new_origin, new_dir).
+    """
+    wo = -direction
+    cos_i = jnp.clip(dot3(wo, n), -1.0, 1.0)
+    entering = cos_i > 0
+
+    eta_i = jnp.where(entering, ext_ior, int_ior)
+    eta_t = jnp.where(entering, int_ior, ext_ior)
+    n_f = jnp.where(entering[..., None], n, -n)
+    cos_f = jnp.abs(cos_i)
+
+    _, _R = fresnel_dielectric(cos_f, eta_i, eta_t)  # reflectance (unused in
+    # the reference's loss too — it keeps only the refracted branch,
+    # DiffRender.py:520-530; R is exposed for future reflection support)
+    tir, wt = refract(wo, n_f, eta_i / eta_t)
+    refracted = jnp.logical_not(tir)
+
+    new_origin = origin + t[..., None] * direction + offset_eps * wt
+    return refracted, new_origin, wt
+
+
+def _bounce(origin, direction, active, mesh, intersect_fn, int_ior, ext_ior,
+            offset_eps):
+    hits = intersect_fn(origin, direction, mesh.vertices, mesh.faces,
+                        mesh.face_valid)
+    hit = hits.hit
+    safe_id = jnp.where(hit, hits.tri_id, 0)
+    tri = mesh.vertices[mesh.faces[safe_id]]          # differentiable gather
+    _u, _v, t, n = moller_trumbore(origin, direction, tri)
+    t = jnp.where(hit, t, 1.0)                        # finite on masked lanes
+    refracted, new_o, new_d = refract_ray(
+        origin, direction, t, n, int_ior, ext_ior, offset_eps)
+    active = active & hit & refracted
+    m = active[..., None]
+    return jnp.where(m, new_o, origin), jnp.where(m, new_d, direction), active
+
+
+def trace2(origin, direction, mesh, intersect_fn: Callable,
+           int_ior: float, ext_ior: float = 1.00029,
+           offset_eps: float = 1e-5):
+    """Exactly two refraction bounces (reference trace2, DiffRender.py:537-546).
+    Returns (origin, direction, active): lanes that refracted at both bounces.
+    """
+    active = jnp.ones(origin.shape[:-1], dtype=bool)
+    o, d = origin, direction
+    for _ in range(2):
+        o, d, active = _bounce(o, d, active, mesh, intersect_fn,
+                               int_ior, ext_ior, offset_eps)
+    return o, d, active
+
+
+def render_transparent(origin, direction, mesh, intersect_fn: Callable,
+                       int_ior: float, ext_ior: float = 1.00029,
+                       offset_eps: float = 1e-5) -> TraceResult:
+    """Trace 2 bounces, then require the exit ray to escape (not re-hit the
+    mesh) — the reference's third occlusion query (DiffRender.py:420-432).
+    Dense per-pixel output; invalid lanes are zeroed like the reference's
+    scatter into zeros."""
+    o, d, active = trace2(origin, direction, mesh, intersect_fn,
+                          int_ior, ext_ior, offset_eps)
+    hits = intersect_fn(o, d, mesh.vertices, mesh.faces, mesh.face_valid)
+    valid = active & jnp.logical_not(hits.hit)
+    m = valid[..., None]
+    return TraceResult(jnp.where(m, o, 0.0), jnp.where(m, d, 0.0), valid)
+
+
+def render_mask(origin, direction, mesh, intersect_fn: Callable) -> jnp.ndarray:
+    """Binary hit image [N] (reference render_mask, DiffRender.py:434-438)."""
+    hits = intersect_fn(origin, direction, mesh.vertices, mesh.faces,
+                        mesh.face_valid)
+    return hits.hit.astype(origin.dtype)
