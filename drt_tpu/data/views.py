@@ -1,0 +1,100 @@
+"""View data containers and view-index generators.
+
+Capability of the reference's `Data` base class (captured_data.py:43-82):
+per-view tensors + two infinite shuffled view-index generators. TPU redesign:
+all 72 views are stacked into device arrays once (instead of 72 pinned-host
+tensors copied H->D per step, captured_data.py:44-59); a training step indexes
+a view with `jnp.take` inside jit, so no host->device traffic happens in the
+hot loop at all.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from drt_tpu.render.camera import CameraM
+
+
+class ViewBatch(NamedTuple):
+    """Stacked views on device (a pytree — passes through jit). Leading axis
+    = view index."""
+
+    screen_pixel: jnp.ndarray  # [V,N,3]
+    valid: jnp.ndarray         # [V,N] bool
+    mask: jnp.ndarray          # [V,resy,resx] soft mask
+    origin: jnp.ndarray        # [V,N,3]
+    ray_dir: jnp.ndarray       # [V,N,3]
+    R: jnp.ndarray             # [V,4,4]
+    K: jnp.ndarray             # [V,3,3]
+    R_inv: jnp.ndarray         # [V,4,4]
+    K_inv: jnp.ndarray         # [V,3,3]
+
+    def take(self, v):
+        """Select one view by (traced or concrete) index."""
+        cam = CameraM(self.R[v], self.K[v], self.R_inv[v], self.K_inv[v])
+        return (self.screen_pixel[v], self.valid[v], self.mask[v],
+                self.origin[v], self.ray_dir[v], cam)
+
+
+@dataclasses.dataclass
+class CaptureData:
+    """A full capture: 72 views + capture geometry metadata."""
+
+    name: str
+    resy: int
+    resx: int
+    num_views: int
+    views: ViewBatch
+    num_view_used: int = 72   # HyperParams['num_view'] subsampling for ray loss
+
+    def ray_view_generator(self, seed: int = 0,
+                           special_case_mouse: bool = True) -> Iterator[int]:
+        """Infinite shuffled stream of ray-loss view indices
+        (reference captured_data.py:61-75, including the hardcoded mouse
+        view list at :66-69)."""
+        step = max(1, self.num_views // max(1, self.num_view_used))
+        index = list(np.arange(0, self.num_views, step))
+        if special_case_mouse and self.name == "mouse":
+            index = list(np.arange(-5, 10)) + list(np.arange(22, 40))
+        rng = np.random.default_rng(seed)
+        while True:
+            rng.shuffle(index)
+            for i in index:
+                yield int(i) % self.num_views
+
+    def silh_view_generator(self, seed: int = 1) -> Iterator[int]:
+        """Infinite shuffled stream over all views
+        (reference captured_data.py:77-82)."""
+        index = list(np.arange(self.num_views))
+        rng = np.random.default_rng(seed)
+        while True:
+            rng.shuffle(index)
+            for i in index:
+                yield int(i)
+
+
+def stack_views(view_list, dtype=jnp.float32) -> ViewBatch:
+    """view_list: list of dicts with keys screen_pixel/valid/mask/origin/
+    ray_dir/R/K (numpy). Inverses are computed here."""
+    def cat(key):
+        return np.stack([np.asarray(v[key]) for v in view_list])
+
+    R = cat("R").astype(np.float64)
+    K = cat("K").astype(np.float64)
+    R_inv = np.linalg.inv(R)
+    K_inv = np.linalg.inv(K)
+    return ViewBatch(
+        screen_pixel=jnp.asarray(cat("screen_pixel"), dtype=dtype),
+        valid=jnp.asarray(cat("valid").astype(bool)),
+        mask=jnp.asarray(cat("mask"), dtype=dtype),
+        origin=jnp.asarray(cat("origin"), dtype=dtype),
+        ray_dir=jnp.asarray(cat("ray_dir"), dtype=dtype),
+        R=jnp.asarray(R, dtype=dtype),
+        K=jnp.asarray(K, dtype=dtype),
+        R_inv=jnp.asarray(R_inv, dtype=dtype),
+        K_inv=jnp.asarray(K_inv, dtype=dtype),
+    )

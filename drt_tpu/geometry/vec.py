@@ -56,10 +56,11 @@ def refract(wo: jnp.ndarray, n: jnp.ndarray, eta,
     sin2_i = jnp.clip(1.0 - cos_i * cos_i, 0.0, None)
     sin2_t = eta * eta * sin2_i
     tir = (sin2_t >= 1.0)[..., 0]
+    # 1e-12 floor: see fresnel_dielectric — sqrt(0) NaN-poisons reverse AD.
     if compat_cos_from_incident:
-        cos_t = jnp.sqrt(1.0 - jnp.clip(sin2_i, None, 1.0))
+        cos_t = jnp.sqrt(jnp.clip(1.0 - sin2_i, 1e-12, 1.0))
     else:
-        cos_t = jnp.sqrt(jnp.clip(1.0 - sin2_t, 0.0, 1.0))
+        cos_t = jnp.sqrt(jnp.clip(1.0 - sin2_t, 1e-12, 1.0))
     wt = eta * -wo + (eta * cos_i - cos_t) * n
     # Explicit (non-detached) renormalization, as the reference does
     # (DiffRender.py:47).
@@ -75,10 +76,13 @@ def fresnel_dielectric(cos_i: jnp.ndarray, eta_i, eta_t):
     Division is guarded so TIR lanes stay finite (R is meaningless there and
     must be masked by the caller).
     """
-    sin_i = jnp.sqrt(jnp.clip(1.0 - cos_i * cos_i, 0.0, 1.0))
+    # Radicand floors: sqrt has an infinite derivative at 0, and reverse-mode
+    # AD turns (zero cotangent) * inf into NaN even for *unused* outputs, so
+    # exactly-normal incidence (cos_i == 1) must never reach sqrt(0).
+    sin_i = jnp.sqrt(jnp.clip(1.0 - cos_i * cos_i, 1e-12, 1.0))
     sin_t = sin_i * eta_i / eta_t
     tir = sin_t >= 1.0
-    cos_t = jnp.sqrt(jnp.clip(1.0 - sin_t * sin_t, 0.0, None))
+    cos_t = jnp.sqrt(jnp.clip(1.0 - sin_t * sin_t, 1e-12, None))
     denom_parl = eta_t * cos_i + eta_i * cos_t
     denom_perp = eta_i * cos_i + eta_t * cos_t
     r_parl = (eta_t * cos_i - eta_i * cos_t) / jnp.maximum(denom_parl, 1e-12)

@@ -1,0 +1,157 @@
+"""The LOD optimization driver.
+
+Capability of the reference's `optimize` (optim.py:145-219): `num_passes`
+passes of [remesh to the scheduled edge length, re-init a zero displacement
+parameter, run `iters` SGD(momentum, nesterov) steps on the weighted loss],
+with reciprocal schedules for remesh length and learning rate, and the
+gradient limit hook (NaN->0, clamp +-1, optim.py:155-162).
+
+TPU redesign:
+- the whole train step (vertex update, normals, 3 losses, backward, gradient
+  hook, optimizer update) is ONE jitted function — no host sync per iter;
+- the learning rate is a traced argument and Nesterov-SGD is inlined, so one
+  compiled executable serves every pass whose padded mesh bucket matches;
+- per-pass state is checkpointed (mesh PLY), giving the restart-from-pass
+  capability the reference lacks (SURVEY.md §5);
+- remeshing is an injectable callable (the in-process isotropic remesher in
+  drt_tpu.remesh replaces the reference's meshlabserver subprocess).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drt_tpu.config import HyperParams
+from drt_tpu.data.views import CaptureData
+from drt_tpu.intersect import get_intersect_fn
+from drt_tpu.mesh import MeshState, build_mesh_state, save_ply
+from drt_tpu.optimize.losses import LossWeights, total_loss
+from drt_tpu.optimize.schedules import interp_reciprocal
+
+
+def limit_grad(g: jnp.ndarray, max_abs: float = 1.0) -> jnp.ndarray:
+    """The reference's limit_hook (optim.py:155-162): NaN->0, clamp +-1.
+    Applied to the raw displacement gradient, before momentum."""
+    g = jnp.where(jnp.isnan(g), 0.0, g)
+    return jnp.clip(g, -max_abs, max_abs)
+
+
+def make_train_step(intersect_fn: Callable, weights: LossWeights,
+                    resy: int, resx: int, silhouette_budget: int,
+                    momentum: float = 0.95):
+    """Build the jitted train step: loss -> grad -> limit hook ->
+    Nesterov-momentum SGD (same trace form as torch.optim.SGD(nesterov=True),
+    reference optim.py:169)."""
+
+    @jax.jit
+    def step(params, momentum_buf, lr, init_vertices, mesh: MeshState, views,
+             ray_view_idx, silh_view_idx):
+        def loss_fn(p):
+            m = mesh.with_vertices(init_vertices + p)
+            return total_loss(m, views, ray_view_idx, silh_view_idx,
+                              intersect_fn, weights, resy, resx,
+                              silhouette_budget)
+
+        (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        g = limit_grad(g)
+        aux["max_grad"] = jnp.max(jnp.abs(g))
+        momentum_buf = momentum * momentum_buf + g
+        params = params - lr * (g + momentum * momentum_buf)
+        return params, momentum_buf, loss, aux
+
+    return step
+
+
+def default_silhouette_budget(num_edges: int) -> int:
+    """Static budget for silhouette-edge sampling: ~1/4 of all edges rounded
+    to a power of two (silhouettes are O(sqrt(F)), so this is generous)."""
+    b = 512
+    while b < num_edges // 4:
+        b *= 2
+    return b
+
+
+def optimize(
+    hp: HyperParams,
+    data: CaptureData,
+    init_vertices: np.ndarray,
+    init_faces: np.ndarray,
+    remesh_fn: Optional[Callable] = None,
+    checkpoint_dir: Optional[str] = None,
+    log_fn: Callable = print,
+    log_every: int = 100,
+) -> MeshState:
+    """Run the full LOD optimization; returns the final MeshState.
+
+    remesh_fn(vertices, faces, target_len) -> (vertices, faces), or None to
+    skip remeshing (the reference remeshes every pass, optim.py:195).
+    """
+    intersect_fn = get_intersect_fn(hp.backend)
+    weights = LossWeights(ray_w=hp.ray_w, vh_w=hp.vh_w, sm_w=hp.sm_w,
+                          ior=hp.ior, ext_ior=hp.ext_ior)
+
+    v_np, f_np = np.asarray(init_vertices), np.asarray(init_faces)
+    mesh = build_mesh_state(v_np, f_np)
+
+    steps = {}   # silhouette budget -> compiled step fn
+    t_start = time.time()
+
+    for i_pass in range(hp.num_passes):
+        remesh_len = interp_reciprocal(hp.start_len, hp.end_len, i_pass,
+                                       hp.num_passes)
+        lr = interp_reciprocal(hp.start_lr, hp.lr_decay * hp.start_lr,
+                               i_pass, hp.num_passes)
+        log_fn(f"pass {i_pass}: remesh_len {remesh_len:g} lr {lr:g}")
+
+        if remesh_fn is not None:
+            v_np, f_np = mesh.host_arrays()
+            v_np, f_np = remesh_fn(v_np, f_np, remesh_len)
+            mesh = build_mesh_state(v_np, f_np)
+
+        budget = (hp.silhouette_budget
+                  or default_silhouette_budget(mesh.num_edges))
+        if budget not in steps:
+            steps[budget] = make_train_step(intersect_fn, weights,
+                                            data.resy, data.resx, budget,
+                                            momentum=hp.momentum)
+        step = steps[budget]
+
+        # Fresh zero displacement + momentum each pass (optim.py:164-171).
+        init_v = mesh.vertices
+        params = jnp.zeros_like(init_v)
+        momentum_buf = jnp.zeros_like(init_v)
+        lr_j = jnp.asarray(lr, dtype=init_v.dtype)
+        ray_gen = data.ray_view_generator(seed=hp.seed + i_pass)
+        silh_gen = data.silh_view_generator(seed=hp.seed + 1000 + i_pass)
+
+        for it in range(hp.iters):
+            ray_idx = jnp.asarray(next(ray_gen), dtype=jnp.int32)
+            # 8 silhouette views per step (optim.py:72).
+            silh_idx = jnp.asarray([next(silh_gen) for _ in range(8)],
+                                   dtype=jnp.int32)
+            params, momentum_buf, loss, aux = step(
+                params, momentum_buf, lr_j, init_v, mesh, data.views,
+                ray_idx, silh_idx)
+            if it % log_every == 0:
+                log_fn(f"  iter {it}: loss={float(loss):g} "
+                       f"ray={float(aux['ray']):g} vh={float(aux['vh']):g} "
+                       f"sm={float(aux['sm']):g} "
+                       f"maxgrad={float(aux['max_grad']):g}")
+
+        mesh = mesh.with_vertices(init_v + params)
+
+        if checkpoint_dir and hp.checkpoint_every_pass:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            v_out, f_out = mesh.host_arrays()
+            save_ply(os.path.join(checkpoint_dir,
+                                  f"{hp.name}_pass{i_pass:02d}.ply"),
+                     v_out, f_out)
+
+    log_fn(f"optimize time: {time.time() - t_start:.1f}s")
+    return mesh

@@ -1,0 +1,97 @@
+"""The three reconstruction losses and their weighted sum.
+
+Capabilities of the reference's `Loss_calculator` (optim.py:59-130):
+- ray_loss: squared difference between rendered exit-ray directions and the
+  environment-matting target directions, one view per step (optim.py:91-108).
+- silhouette (vh) loss: |soft-mask - 0.5| at silhouette-edge sample pixels,
+  8 views per step (optim.py:67-80).
+- smoothness (sm) loss: sum of -log(1 + cos dihedral) over edges
+  (optim.py:82-89).
+- total: ray_w*217.5/resy^2 * ray + vh_w*217.5/resy * vh +
+  sm_w*mean_len/10 * sm — the exact normalization constants of
+  optim.py:127-129.
+
+All functions are pure and jit-safe; views are selected by (traced) index
+into the stacked ViewBatch so the whole step stays on device.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from drt_tpu.geometry.metrics import dihedral_cos
+from drt_tpu.geometry.vec import safe_normalize
+from drt_tpu.render.silhouette import primary_visibility
+from drt_tpu.render.trace import render_transparent
+
+
+class LossWeights(NamedTuple):
+    ray_w: float
+    vh_w: float
+    sm_w: float
+    ior: float
+    ext_ior: float = 1.00029
+
+
+def ray_loss(mesh, view, intersect_fn: Callable, ior: float,
+             ext_ior: float) -> jnp.ndarray:
+    """One-view refraction loss (reference optim.py:91-108)."""
+    screen_pixel, valid, _mask, origin, ray_dir, _cam = view
+    res = render_transparent(origin, ray_dir, mesh, intersect_fn, ior, ext_ior)
+    # Target direction: from the (detached) exit origin to the matted screen
+    # point (optim.py:100-102).
+    target = screen_pixel - jax.lax.stop_gradient(res.origin)
+    target = safe_normalize(target)
+    diff = res.direction - target
+    m = (valid & res.valid)[:, None]
+    return jnp.sum(jnp.where(m, diff * diff, 0.0))
+
+
+def silhouette_loss(mesh, view, intersect_fn: Callable, budget: int,
+                    resy: int, resx: int) -> jnp.ndarray:
+    """One-view silhouette loss (reference optim.py:67-80): the soft mask
+    sampled at each boundary-crossing silhouette edge vs the 0.5 level."""
+    _sp, _valid, mask_img, origin, _rd, cam = view
+    cam_origin = origin[0]
+    samples = primary_visibility(mesh, cam, cam_origin, intersect_fn,
+                                 budget, resy, resx, detach_depth=True)
+    picked = mask_img[samples.pixel[:, 1], samples.pixel[:, 0]]
+    per_edge = jnp.abs(picked - samples.output)
+    return jnp.sum(jnp.where(samples.valid, per_edge, 0.0))
+
+
+def smooth_loss(mesh) -> jnp.ndarray:
+    """Dihedral smoothness (reference optim.py:82-89). The log argument is
+    floored: a perfectly folded edge (cos=-1) gives a huge-but-finite penalty
+    instead of the reference's inf."""
+    cosd = dihedral_cos(mesh.vertices, mesh.faces, mesh.edge_faces)
+    term = -jnp.log(jnp.maximum(1.0 + cosd, 1e-12))
+    return jnp.sum(jnp.where(mesh.edge_valid, term, 0.0))
+
+
+def total_loss(mesh, views, ray_view_idx, silh_view_idx, intersect_fn,
+               weights: LossWeights, resy: int, resx: int,
+               silhouette_budget: int):
+    """Weighted sum (reference all_loss, optim.py:110-130). silh_view_idx is
+    a static-length [S] array of view indices (the reference uses 8)."""
+    rl = ray_loss(mesh, views.take(ray_view_idx), intersect_fn,
+                  weights.ior, weights.ext_ior) if weights.ray_w else 0.0
+
+    if weights.vh_w:
+        def one(idx):
+            return silhouette_loss(mesh, views.take(idx), intersect_fn,
+                                   silhouette_budget, resy, resx)
+        vh = jnp.sum(jax.lax.map(one, silh_view_idx))
+    else:
+        vh = 0.0
+
+    sm = smooth_loss(mesh) if weights.sm_w else 0.0
+
+    total = (weights.ray_w * 217.5 / resy / resy * rl
+             + weights.vh_w * 217.5 / resy * vh
+             + weights.sm_w * mesh.mean_len / 10.0 * sm)
+    aux = {"ray": rl, "vh": vh, "sm": sm}
+    return total, aux

@@ -1,0 +1,166 @@
+"""2-bounce refraction trace tests against analytic optics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drt_tpu.intersect import get_intersect_fn
+from drt_tpu.mesh import build_mesh_state
+from drt_tpu.render import render_transparent, render_mask, trace2
+from tests.meshes import make_cube, make_icosphere
+
+IOR = 1.5
+EXT = 1.0
+
+
+def cube_scene():
+    v, f = make_cube()  # unit cube at origin
+    return build_mesh_state(v, f)
+
+
+class TestSlab:
+    """A glass slab (cube) — the classic parallel-displacement case."""
+
+    def test_normal_incidence_passthrough(self):
+        ms = cube_scene()
+        fn = get_intersect_fn("brute")
+        o = jnp.array([[0.1, 0.2, -5.0]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        res = render_transparent(o, d, ms, fn, IOR, EXT)
+        assert bool(res.valid[0])
+        # direction unchanged
+        np.testing.assert_allclose(np.asarray(res.direction[0]),
+                                   [0, 0, 1], atol=1e-6)
+        # exit point on the far face, same xy
+        np.testing.assert_allclose(np.asarray(res.origin[0])[:2],
+                                   [0.1, 0.2], atol=1e-5)
+        np.testing.assert_allclose(float(res.origin[0, 2]), 0.5, atol=1e-4)
+
+    def test_oblique_parallel_offset(self):
+        """Exit ray parallel to entry ray; lateral offset matches the slab
+        formula d = h*sin(i)*(1 - cos(i)/(n*cos(r)))."""
+        ms = cube_scene()
+        fn = get_intersect_fn("brute")
+        th = np.deg2rad(30.0)
+        d_in = np.array([np.sin(th), 0.0, np.cos(th)])
+        # aim at the center of the front face
+        o = jnp.array([-5.0 * d_in + np.array([0, 0, 0.0])])[None][0].reshape(1, 3)
+        d = jnp.array([d_in])
+        res = render_transparent(o, d, ms, fn, IOR, EXT)
+        assert bool(res.valid[0])
+        out_d = np.asarray(res.direction[0])
+        np.testing.assert_allclose(out_d, d_in, atol=1e-5)
+
+        # analytic lateral displacement through thickness h=1
+        sin_r = np.sin(th) / IOR
+        r = np.arcsin(sin_r)
+        h = 1.0
+        lateral = h * np.sin(th - r) / np.cos(r)
+        # entry point at z=-0.5 with x chosen so ray passes (0,0,0):
+        # entry x = -0.5*tan(th)... compute expected exit x directly:
+        x_entry = -0.5 * np.tan(th)
+        x_exit = x_entry + h * np.tan(r)
+        np.testing.assert_allclose(float(res.origin[0, 0]), x_exit, atol=1e-4)
+        np.testing.assert_allclose(float(res.origin[0, 2]), 0.5, atol=1e-4)
+        # displacement magnitude sanity
+        assert 0 < lateral < np.sin(th)
+
+    def test_miss_is_invalid(self):
+        ms = cube_scene()
+        fn = get_intersect_fn("brute")
+        o = jnp.array([[5.0, 5.0, -5.0]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        res = render_transparent(o, d, ms, fn, IOR, EXT)
+        assert not bool(res.valid[0])
+        np.testing.assert_allclose(np.asarray(res.origin[0]), 0.0)
+        np.testing.assert_allclose(np.asarray(res.direction[0]), 0.0)
+
+    def test_render_mask(self):
+        ms = cube_scene()
+        fn = get_intersect_fn("brute")
+        o = jnp.array([[0.0, 0.0, -5.0], [5.0, 5.0, -5.0]])
+        d = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+        img = render_mask(o, d, ms, fn)
+        np.testing.assert_allclose(np.asarray(img), [1.0, 0.0])
+
+
+class TestSphereLens:
+    def test_all_center_rays_valid(self):
+        """Rays near the optical axis of a sphere refract twice and escape."""
+        v, f = make_icosphere(subdivisions=3)
+        ms = build_mesh_state(v, f)
+        fn = get_intersect_fn("brute")
+        xs = np.linspace(-0.3, 0.3, 9)
+        o = jnp.array([[x, 0.0, -5.0] for x in xs])
+        d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), o.shape)
+        res = render_transparent(o, d, ms, fn, IOR, EXT)
+        assert bool(res.valid.all())
+        # central ray goes straight through
+        c = len(xs) // 2
+        np.testing.assert_allclose(np.asarray(res.direction[c]), [0, 0, 1],
+                                   atol=1e-3)
+        # off-axis rays converge toward the axis (positive lens)
+        out = np.asarray(res.direction)
+        assert out[0, 0] > 1e-3      # left ray bends right
+        assert out[-1, 0] < -1e-3    # right ray bends left
+
+    def test_grazing_tir_lane_masked(self):
+        """Rays that graze the sphere can TIR inside; they must come out
+        invalid, never NaN."""
+        v, f = make_icosphere(subdivisions=3)
+        ms = build_mesh_state(v, f)
+        fn = get_intersect_fn("brute")
+        xs = np.linspace(0.9, 0.999, 16)
+        o = jnp.array([[x, 0.0, -5.0] for x in xs])
+        d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), o.shape)
+        res = render_transparent(o, d, ms, fn, IOR, EXT)
+        assert bool(jnp.isfinite(res.origin).all())
+        assert bool(jnp.isfinite(res.direction).all())
+
+
+class TestGradients:
+    def test_grad_flows_to_vertices_and_is_finite(self):
+        """d(exit dir)/d(vertices): nonzero, finite, and zero on lanes that
+        miss — the whole point of the differentiable trace."""
+        v, f = make_icosphere(subdivisions=2)
+        ms = build_mesh_state(v, f)
+        fn = get_intersect_fn("brute")
+        o = jnp.array([[0.2, 0.1, -5.0], [5.0, 5.0, -5.0]])  # hit, miss
+        d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), o.shape)
+
+        def loss(verts):
+            m = ms.with_vertices(verts)
+            res = render_transparent(o, d, m, fn, IOR, EXT)
+            return jnp.sum(res.direction[:, 0])
+
+        g = jax.grad(loss)(ms.vertices)
+        assert bool(jnp.isfinite(g).all())
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_grad_matches_finite_difference(self):
+        """Directional derivative of exit direction w.r.t. a vertex bump
+        agrees with central finite differences (f64)."""
+        jax.config.update("jax_enable_x64", True)
+        try:
+            v, f = make_icosphere(subdivisions=2)
+            ms = build_mesh_state(v, f, dtype=jnp.float64)
+            fn = get_intersect_fn("brute")
+            o = jnp.array([[0.2, 0.1, -5.0]], dtype=jnp.float64)
+            d = jnp.array([[0.0, 0.0, 1.0]], dtype=jnp.float64)
+
+            key = jax.random.PRNGKey(0)
+            tang = jax.random.normal(key, ms.vertices.shape, jnp.float64)
+            tang = tang / jnp.linalg.norm(tang)
+
+            def f_scalar(eps):
+                m = ms.with_vertices(ms.vertices + eps * tang)
+                res = render_transparent(o, d, m, fn, IOR, EXT)
+                return jnp.sum(res.direction * jnp.array([1.0, 0.7, 0.3]))
+
+            g_ad = jax.grad(f_scalar)(0.0)
+            h = 1e-6
+            g_fd = (f_scalar(h) - f_scalar(-h)) / (2 * h)
+            np.testing.assert_allclose(float(g_ad), float(g_fd),
+                                       rtol=1e-4, atol=1e-8)
+        finally:
+            jax.config.update("jax_enable_x64", False)
