@@ -41,8 +41,8 @@ def get_intersect_fn(backend: str = "auto", **kw) -> Callable:
     -> Hits. The returned callable is jit-safe and non-differentiable
     (stop_gradient applied to its outputs)."""
     if backend == "auto":
-        # "culled"/"pallas" swap in as they land; brute is always correct.
-        backend = "brute"
+        # exact chunk-culled Plucker-matmul backend; "pallas" swaps in later.
+        backend = "culled"
     if backend == "brute":
         from drt_tpu.intersect.brute import intersect_brute as fn
     elif backend == "culled":

@@ -21,7 +21,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from drt_tpu.mesh.topology import MeshTopology, build_topology, mean_edge_length
+from drt_tpu.mesh.topology import (
+    MeshTopology, build_topology, mean_edge_length, morton_order_faces,
+)
 from drt_tpu.geometry.normals import vertex_normals
 
 
@@ -89,7 +91,12 @@ def build_mesh_state(
     reference DiffRender.py:303-317)."""
     vertices = np.asarray(vertices, dtype=np.float64)
     V = len(vertices)
-    topo = topology if topology is not None else build_topology(faces, V)
+    if topology is None:
+        # Morton-order faces so chunked intersect backends cull well.
+        faces = morton_order_faces(vertices, np.asarray(faces))
+        topo = build_topology(faces, V)
+    else:
+        topo = topology
     if require_watertight and not topo.is_watertight:
         raise ValueError("mesh is not watertight")  # DiffRender.py:305
 

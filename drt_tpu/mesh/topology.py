@@ -41,6 +41,32 @@ class MeshTopology:
         return len(self.edges)
 
 
+def morton_order_faces(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Reorder faces along a Morton (Z-order) curve of their centroids.
+
+    Spatially adjacent triangles become adjacent in memory, so the fixed-size
+    triangle chunks used by the culled/Pallas intersect backends get tight
+    bounding boxes. Semantically a face permutation is a no-op; it replaces
+    the BVH build step of the reference's OptiX backend (optix_extend.cpp:61-67)
+    with a once-per-topology host-side sort.
+    """
+    cent = vertices[faces].mean(axis=1)
+    lo = cent.min(axis=0)
+    span = np.maximum(cent.max(axis=0) - lo, 1e-12)
+    q = np.clip(((cent - lo) / span * 1023.0).astype(np.uint64), 0, 1023)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) \
+        | (spread(q[:, 2]) << np.uint64(2))
+    return faces[np.argsort(code, kind="stable")]
+
+
 def build_topology(faces: np.ndarray, num_vertices: int) -> MeshTopology:
     faces = np.asarray(faces, dtype=np.int32)
     F = len(faces)

@@ -1,0 +1,78 @@
+"""Multi-chip scaling: shard the ray batch across a device mesh.
+
+The reference is single-GPU only (SURVEY.md §2.3); this module is the new
+first-class parallelism component. Design (BASELINE.json north star):
+
+- one mesh axis, "rays": camera-ray tiles are the data-parallel dimension
+  (rays are embarrassingly parallel; a view has 1.2M-2.1M of them);
+- the mesh (vertices/faces/topology) is small and REPLICATED on every chip;
+- the only cross-chip communication is the all-reduce of the V×3 vertex
+  gradient, which XLA inserts automatically when differentiating a
+  replicated-parameter / sharded-data computation, and overlaps with the
+  backward pass via its latency-hiding scheduler.
+
+Implementation uses jit + NamedSharding (GSPMD) rather than hand-written
+collectives: the sharding of every intermediate follows from the ray-axis
+annotations, and XLA chooses psum placement. The per-pixel ray arrays
+(origin/ray_dir/screen_pixel/valid) are sharded along the pixel axis; view
+metadata and mask images are replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from drt_tpu.data.views import ViewBatch
+
+
+def make_ray_mesh(devices=None) -> Mesh:
+    """A 1-D device mesh with axis 'rays'."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), axis_names=("rays",))
+
+
+def replicate(mesh: Mesh, tree):
+    """Place a pytree fully replicated on the mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.device_put(tree, s)
+
+
+def shard_views(mesh: Mesh, views: ViewBatch) -> ViewBatch:
+    """Shard the per-pixel arrays of a ViewBatch along the ray axis;
+    replicate cameras and mask images."""
+    ray_s = NamedSharding(mesh, P(None, "rays"))        # [V, N, ...]
+    rep = NamedSharding(mesh, P())
+
+    def put(x, sharded):
+        return jax.device_put(x, ray_s if sharded else rep)
+
+    return ViewBatch(
+        screen_pixel=put(views.screen_pixel, True),
+        valid=put(views.valid, True),
+        mask=put(views.mask, False),
+        origin=put(views.origin, True),
+        ray_dir=put(views.ray_dir, True),
+        R=put(views.R, False), K=put(views.K, False),
+        R_inv=put(views.R_inv, False), K_inv=put(views.K_inv, False),
+    )
+
+
+def make_sharded_train_step(make_step_kwargs: dict, mesh: Mesh,
+                            mesh_state, views: ViewBatch):
+    """Build a train step whose data lives sharded on `mesh`: the ViewBatch
+    ray arrays are placed with the ray sharding, the mesh state replicated.
+    Returns (step_fn, mesh_state_placed, views_placed). The step itself is
+    the ordinary jitted step from optimize.make_train_step — GSPMD partitions
+    it according to the input placements and inserts the vertex-gradient
+    all-reduce."""
+    from drt_tpu.optimize.loop import make_train_step
+
+    step = make_train_step(**make_step_kwargs)
+    views_placed = shard_views(mesh, views)
+    mesh_state_placed = replicate(mesh, mesh_state)
+    return step, mesh_state_placed, views_placed

@@ -1,0 +1,1 @@
+from drt_tpu.utils.cache import enable_compilation_cache  # noqa: F401
