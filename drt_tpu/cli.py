@@ -1,0 +1,155 @@
+"""Command-line interface.
+
+The reference's only entry point is `python optim.py` with hyper-parameters
+edited by hand in config.py (optim.py:221-226, README.md:26). This CLI keeps
+the same workflow but takes flags, adds an evaluation command (the
+reference's Hausdorff protocol is manual, README.md:13), a standalone remesh
+command, and a synthetic-capture mode so the full pipeline runs without the
+non-vendored .h5 captures.
+
+Examples:
+  python -m drt_tpu.cli reconstruct --name hand --data synthetic --resy 128 --resx 128
+  python -m drt_tpu.cli reconstruct --name mouse --data /path/to/mouse.h5
+  python -m drt_tpu.cli evaluate --mesh result/hand_recons.ply --gt /root/reference/data/hand_scan.ply
+  python -m drt_tpu.cli remesh --mesh in.ply --out out.ply --target-len 2.0
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from drt_tpu.config import DEFAULT_DATA_PATH, HyperParams
+
+
+def cmd_reconstruct(args):
+    from drt_tpu.mesh import load_ply, save_ply
+    from drt_tpu.optimize import optimize
+    from drt_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    hp = HyperParams(
+        name=args.name, ior=args.ior, num_passes=args.passes,
+        iters=args.iters, ray_w=args.ray_w, sm_w=args.sm_w, vh_w=args.vh_w,
+        momentum=args.momentum, start_lr=args.start_lr,
+        lr_decay=args.lr_decay, start_len=args.start_len,
+        end_len=args.end_len, num_view=args.num_view, backend=args.backend,
+        seed=args.seed,
+    )
+
+    init_path = args.init_mesh or f"{DEFAULT_DATA_PATH}{hp.name}_vh.ply"
+    v_init, f_init = load_ply(init_path)
+
+    if args.data == "synthetic":
+        from drt_tpu.data import synthesize_capture
+        gt_path = args.gt_mesh or f"{DEFAULT_DATA_PATH}{hp.name}_scan.ply"
+        gt_v, gt_f = load_ply(gt_path)
+        print(f"synthesizing capture from {gt_path} "
+              f"({args.views} views at {args.resy}x{args.resx})...")
+        data = synthesize_capture(
+            gt_v, gt_f, name=hp.name, num_views=args.views,
+            resy=args.resy, resx=args.resx, ior=hp.ior,
+            backend=hp.backend, num_view_used=min(hp.num_view, args.views))
+    else:
+        from drt_tpu.data import load_h5_capture
+        data = load_h5_capture(args.data, hp.name, num_view_used=hp.num_view)
+
+    mesh = optimize(hp, data, v_init, f_init,
+                    remesh_fn=None if args.no_remesh else "isotropic",
+                    checkpoint_dir=args.checkpoint_dir)
+
+    os.makedirs(args.result_dir, exist_ok=True)
+    out = os.path.join(args.result_dir, f"{hp.name}_recons.ply")
+    v, f = mesh.host_arrays()
+    save_ply(out, v, f)
+    print(f"wrote {out} (V={len(v)}, F={len(f)})")
+
+    gt_scan = f"{DEFAULT_DATA_PATH}{hp.name}_scan.ply"
+    if os.path.exists(gt_scan):
+        from drt_tpu.remesh import hausdorff_distance
+        gv, gf = load_ply(gt_scan)
+        st = hausdorff_distance(v, f, gv, gf)
+        print(f"Hausdorff vs scan GT: mean={st.mean:.4f} rms={st.rms:.4f} "
+              f"max={st.max:.4f}")
+
+
+def cmd_evaluate(args):
+    from drt_tpu.mesh import load_ply
+    from drt_tpu.remesh import hausdorff_distance
+
+    v1, f1 = load_ply(args.mesh)
+    v2, f2 = load_ply(args.gt)
+    st = hausdorff_distance(v1, f1, v2, f2, symmetric=not args.one_sided)
+    print(f"mean={st.mean:.6f} rms={st.rms:.6f} max={st.max:.6f}")
+
+
+def cmd_remesh(args):
+    from drt_tpu.mesh import load_ply, save_ply
+    from drt_tpu.remesh import isotropic_remesh
+
+    v, f = load_ply(args.mesh)
+    v2, f2 = isotropic_remesh(v, f, target_len=args.target_len,
+                              iterations=args.iterations)
+    save_ply(args.out, v2, f2)
+    print(f"{args.mesh}: V={len(v)}/F={len(f)} -> V={len(v2)}/F={len(f2)} "
+          f"-> {args.out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="drt_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    hp = HyperParams()
+    r = sub.add_parser("reconstruct", help="run the LOD optimization")
+    r.add_argument("--name", default=hp.name)
+    r.add_argument("--data", default="synthetic",
+                   help="'synthetic' or a path to the object's .h5 capture")
+    r.add_argument("--init-mesh", default=None)
+    r.add_argument("--gt-mesh", default=None,
+                   help="ground-truth mesh for synthetic capture")
+    r.add_argument("--views", type=int, default=72)
+    r.add_argument("--resy", type=int, default=256)
+    r.add_argument("--resx", type=int, default=256)
+    r.add_argument("--ior", type=float, default=hp.ior)
+    r.add_argument("--passes", type=int, default=hp.num_passes)
+    r.add_argument("--iters", type=int, default=hp.iters)
+    r.add_argument("--ray-w", type=float, default=hp.ray_w)
+    r.add_argument("--sm-w", type=float, default=hp.sm_w)
+    r.add_argument("--vh-w", type=float, default=hp.vh_w)
+    r.add_argument("--momentum", type=float, default=hp.momentum)
+    r.add_argument("--start-lr", type=float, default=hp.start_lr)
+    r.add_argument("--lr-decay", type=float, default=hp.lr_decay)
+    r.add_argument("--start-len", type=float, default=hp.start_len)
+    r.add_argument("--end-len", type=float, default=hp.end_len)
+    r.add_argument("--num-view", type=int, default=hp.num_view)
+    r.add_argument("--backend", default="auto",
+                   choices=["auto", "brute", "culled", "pallas"])
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--no-remesh", action="store_true")
+    r.add_argument("--checkpoint-dir", default="result/checkpoints")
+    r.add_argument("--result-dir", default="result")
+    r.set_defaults(fn=cmd_reconstruct)
+
+    e = sub.add_parser("evaluate", help="Hausdorff distance between meshes")
+    e.add_argument("--mesh", required=True)
+    e.add_argument("--gt", required=True)
+    e.add_argument("--one-sided", action="store_true")
+    e.set_defaults(fn=cmd_evaluate)
+
+    m = sub.add_parser("remesh", help="isotropic explicit remeshing")
+    m.add_argument("--mesh", required=True)
+    m.add_argument("--out", required=True)
+    m.add_argument("--target-len", type=float, required=True)
+    m.add_argument("--iterations", type=int, default=3)
+    m.set_defaults(fn=cmd_remesh)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -89,9 +89,13 @@ def optimize(
 ) -> MeshState:
     """Run the full LOD optimization; returns the final MeshState.
 
-    remesh_fn(vertices, faces, target_len) -> (vertices, faces), or None to
-    skip remeshing (the reference remeshes every pass, optim.py:195).
+    remesh_fn(vertices, faces, target_len) -> (vertices, faces). Pass the
+    string "isotropic" for the built-in in-process remesher, or None to skip
+    remeshing (the reference remeshes every pass, optim.py:195).
     """
+    if remesh_fn == "isotropic":
+        from drt_tpu.remesh import isotropic_remesh
+        remesh_fn = isotropic_remesh
     intersect_fn = get_intersect_fn(hp.backend)
     weights = LossWeights(ray_w=hp.ray_w, vh_w=hp.vh_w, sm_w=hp.sm_w,
                           ior=hp.ior, ext_ior=hp.ext_ior)
