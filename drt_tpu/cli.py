@@ -60,7 +60,8 @@ def cmd_reconstruct(args):
 
     mesh = optimize(hp, data, v_init, f_init,
                     remesh_fn=None if args.no_remesh else "isotropic",
-                    checkpoint_dir=args.checkpoint_dir)
+                    checkpoint_dir=args.checkpoint_dir,
+                    metrics=args.metrics, resume=args.resume)
 
     os.makedirs(args.result_dir, exist_ok=True)
     out = os.path.join(args.result_dir, f"{hp.name}_recons.ply")
@@ -130,6 +131,10 @@ def main(argv=None):
                    choices=["auto", "brute", "culled", "pallas"])
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--no-remesh", action="store_true")
+    r.add_argument("--resume", action="store_true",
+                   help="continue from the latest per-pass checkpoint")
+    r.add_argument("--metrics", default=None,
+                   help="write JSON-line per-iteration metrics to this file")
     r.add_argument("--checkpoint-dir", default="result/checkpoints")
     r.add_argument("--result-dir", default="result")
     r.set_defaults(fn=cmd_reconstruct)

@@ -41,20 +41,35 @@ def get_intersect_fn(backend: str = "auto", **kw) -> Callable:
     -> Hits. The returned callable is jit-safe and non-differentiable
     (stop_gradient applied to its outputs)."""
     if backend == "auto":
-        # exact chunk-culled Plucker-matmul backend; "pallas" swaps in later.
-        backend = "culled"
+        if jax.default_backend() == "tpu":
+            backend = "pallas"      # falls back per-mesh via pallas_fits
+        else:
+            backend = "culled"
     if backend == "brute":
         from drt_tpu.intersect.brute import intersect_brute as fn
     elif backend == "culled":
         from drt_tpu.intersect.culled import intersect_culled as fn
     elif backend == "pallas":
-        from drt_tpu.intersect.pallas_kernel import intersect_pallas as fn
+        from drt_tpu.intersect.culled import intersect_culled
+        from drt_tpu.intersect.pallas_kernel import intersect_pallas, pallas_fits
+
+        def fn(origins, dirs, vertices, faces, face_valid=None, **kw2):
+            if pallas_fits(faces.shape[0]):
+                return intersect_pallas(origins, dirs, vertices, faces,
+                                        face_valid, **kw2)
+            # coefficient tensor too big for VMEM residency
+            return intersect_culled(origins, dirs, vertices, faces,
+                                    face_valid, **kw2)
     else:
         raise ValueError(f"unknown intersect backend: {backend}")
 
     def wrapped(origins, dirs, vertices, faces, face_valid=None):
-        hits = fn(origins, dirs, vertices, faces, face_valid, **kw)
-        return Hits(jax.lax.stop_gradient(hits.t),
-                    jax.lax.stop_gradient(hits.tri_id))
+        # Detach ALL inputs: the oracle is non-differentiable by design
+        # (the reference casts to float32 OptiX buffers, DiffRender.py:387-388)
+        # and its internals (Pallas kernels) have no JVP rules.
+        sg = jax.lax.stop_gradient
+        hits = fn(sg(origins), sg(dirs), sg(vertices), faces, face_valid,
+                  **kw)
+        return Hits(sg(hits.t), sg(hits.tri_id))
 
     return wrapped

@@ -90,7 +90,8 @@ def _chunk_aabbs(vertices, faces, face_valid, shift, tri_chunk):
 
 def intersect_culled(origins, dirs, vertices, faces, face_valid=None, *,
                      t_min: float = 0.0, ray_tile: int = 256,
-                     tri_chunk: int = 256, max_chunks: int = 8) -> Hits:
+                     tri_chunk: int = 256, max_chunks: int = 8,
+                     tile_group: int = 32) -> Hits:
     """Closest hit for each ray. Misses: t=inf, tri_id=-1."""
     N = origins.shape[0]
     F = faces.shape[0]
@@ -183,7 +184,21 @@ def intersect_culled(origins, dirs, vertices, faces, face_valid=None, *,
         _, best, best_id = jax.lax.while_loop(cond, body, init)
         return best, best_id
 
-    ot = o.reshape(Np // ray_tile, ray_tile, 3)
-    dt = d.reshape(Np // ray_tile, ray_tile, 3)
-    bt, bi = jax.lax.map(per_tile, (ot, dt))
+    # Tiles are vmapped in groups so one dispatch covers `tile_group` tiles
+    # (sequential per-tile dispatch would dominate runtime); groups are then
+    # scanned. A vmapped while_loop runs until every tile in the group is
+    # done — groups of spatially adjacent tiles finish together.
+    n_tiles = Np // ray_tile
+    group = max(1, min(tile_group, n_tiles))
+    n_groups = -(-n_tiles // group)
+    pad_tiles = n_groups * group - n_tiles
+    ot = o.reshape(n_tiles, ray_tile, 3)
+    dt = d.reshape(n_tiles, ray_tile, 3)
+    if pad_tiles:
+        ot = jnp.pad(ot, ((0, pad_tiles), (0, 0), (0, 0)))
+        dt = jnp.pad(dt, ((0, pad_tiles), (0, 0), (0, 0)),
+                     constant_values=1.0)
+    ot = ot.reshape(n_groups, group, ray_tile, 3)
+    dt = dt.reshape(n_groups, group, ray_tile, 3)
+    bt, bi = jax.lax.map(jax.vmap(per_tile), (ot, dt))
     return Hits(bt.reshape(-1)[:N], bi.reshape(-1)[:N])

@@ -1,0 +1,254 @@
+"""Pallas TPU closest-hit kernel.
+
+The hardware-native replacement for the reference's OptiX Prime backend
+(optix_extend.cpp). Two cooperating stages:
+
+1. XLA prepass: for every tile of `RAY_TILE` rays, slab-test all
+   Morton-ordered triangle-chunk AABBs (mesh/topology.py) and emit a
+   nearest-first *candidate chunk list* + count per tile. Tiles are
+   spatially coherent (camera pixels; bounce rays keep pixel order), so
+   typical counts are a handful out of hundreds of chunks.
+2. Pallas kernel (grid = tiles): DMA the tile's candidate list into SMEM,
+   then loop only over those `count` chunks — the loop trip count is the
+   *actual* candidate count, not the chunk count, which is what makes this
+   faster than predicating a full sweep (measured: the scalar loop overhead
+   of a full predicated sweep dominated). Per candidate chunk:
+   - a per-ray slab re-test tightened by the running best_t (candidates
+     arrive nearest-first, so later chunks often prune to nothing),
+   - under `pl.when(any(overlap))`, Moller-Trumbore for the whole chunk as
+     ONE MXU matmul: vals = coef[c] @ phiT with the Plucker coefficient
+     packing of intersect/culled.py — rows grouped det|u*det|v*det|t*det so
+     the four [C, RT] quantities are static sublane slices,
+   - division-free sign-aware hit classification, min-reduce update.
+
+Rays live in the LANE dimension throughout ([*, RAY_TILE] blocks); the whole
+coefficient tensor is VMEM-resident (meshes to ~65k padded faces — all
+bundled *_vh meshes except dog/monkey); bigger meshes fall back to the XLA
+culled backend via `pallas_fits`.
+
+Exactness: the candidate list is complete (no budget/truncation), so results
+bit-match the brute oracle up to shared-edge ties; validated in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from drt_tpu.intersect.api import Hits
+
+_UV_EPS = 1e-5
+RAY_TILE = 512
+TRI_CHUNK = 128
+# Whole-coef VMEM budget: [NC, 4C, 10] f32 must fit comfortably.
+VMEM_COEF_LIMIT_BYTES = 10 * 1024 * 1024
+
+
+def pallas_fits(num_padded_faces: int) -> bool:
+    return num_padded_faces * 4 * 10 * 4 <= VMEM_COEF_LIMIT_BYTES
+
+
+def _kernel(count_ref, lo_ref, hi_ref, cand_ref, o3_ref, inv3_ref, phiT_ref,
+            coef_ref, t_out_ref, id_out_ref,
+            cand_smem, dma_sem, best_t_ref, best_id_ref, *,
+            tri_chunk, t_min):
+    o3 = o3_ref[0]            # [3, RT]
+    inv3 = inv3_ref[0]        # [3, RT]
+    phiT = phiT_ref[0]        # [10, RT]
+
+    # Stage the tile's candidate ids into SMEM for scalar indexing.
+    dma = pltpu.make_async_copy(cand_ref.at[0], cand_smem, dma_sem)
+    dma.start()
+
+    best_t_ref[...] = jnp.full(best_t_ref.shape, jnp.inf, jnp.float32)
+    best_id_ref[...] = jnp.full(best_id_ref.shape, -1, jnp.int32)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tri_chunk, 1), 0)
+
+    dma.wait()
+
+    def cand_body(i, _):
+        c = cand_smem[0, i]
+
+        # Per-ray slab re-test, tightened by the running best.
+        def axis_interval(ax):
+            t1 = (lo_ref[c, ax] - o3[ax:ax + 1, :]) * inv3[ax:ax + 1, :]
+            t2 = (hi_ref[c, ax] - o3[ax:ax + 1, :]) * inv3[ax:ax + 1, :]
+            return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+        e0, x0 = axis_interval(0)
+        e1, x1 = axis_interval(1)
+        e2, x2 = axis_interval(2)
+        t_entry = jnp.maximum(jnp.maximum(e0, e1), e2)       # [1, RT]
+        t_exit = jnp.minimum(jnp.minimum(x0, x1), x2)
+        overlap = ((t_entry <= t_exit) & (t_exit > t_min)
+                   & (t_entry < best_t_ref[...]))
+
+        @pl.when(jnp.any(overlap))
+        def _():
+            vals = jax.lax.dot_general(
+                coef_ref[c], phiT,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [4C, RT]
+            det = vals[0 * tri_chunk:1 * tri_chunk, :]
+            ud = vals[1 * tri_chunk:2 * tri_chunk, :]
+            vd = vals[2 * tri_chunk:3 * tri_chunk, :]
+            td = vals[3 * tri_chunk:4 * tri_chunk, :]
+            s = jnp.sign(det)
+            absdet = jnp.abs(det)
+            eps = _UV_EPS * absdet
+            ok = ((absdet > 1e-16)
+                  & (ud * s >= -eps) & (vd * s >= -eps)
+                  & ((ud + vd) * s <= absdet + eps)
+                  & (td * s > t_min * absdet))
+            t_all = jnp.where(
+                ok, td / jnp.where(absdet > 1e-16, det, 1.0), jnp.inf)
+            cmin = jnp.min(t_all, axis=0, keepdims=True)     # [1, RT]
+            amin = jnp.min(jnp.where(t_all <= cmin, row_ids, tri_chunk),
+                           axis=0, keepdims=True)            # [1, RT]
+            better = cmin < best_t_ref[...]
+            best_id_ref[...] = jnp.where(
+                better, c * tri_chunk + amin, best_id_ref[...])
+            best_t_ref[...] = jnp.where(better, cmin, best_t_ref[...])
+
+        return 0
+
+    jax.lax.fori_loop(0, count_ref[pl.program_id(0), 0], cand_body, 0)
+    t_out_ref[0] = best_t_ref[...]
+    id_out_ref[0] = best_id_ref[...]
+
+
+def _coef_packed(vertices, faces, face_valid, shift, tri_chunk):
+    """[NC, 4*C, 10] coefficient tensor (rows det|ud|vd|td per chunk)."""
+    from drt_tpu.intersect.culled import _triangle_coefficients, _pad_axis0
+    coef = _triangle_coefficients(vertices, faces, face_valid, shift)
+    coef = _pad_axis0(coef, tri_chunk)                 # [Fp, 10, 4]
+    NC = coef.shape[0] // tri_chunk
+    # [NC, C, 10, 4] -> [NC, 4, C, 10] -> [NC, 4C, 10]
+    c4 = coef.reshape(NC, tri_chunk, 10, 4).transpose(0, 3, 1, 2)
+    return c4.reshape(NC, 4 * tri_chunk, 10), NC
+
+
+def _candidates(ot, dt, lo_c, hi_c, chunk_valid, t_min, group=16):
+    """XLA prepass: nearest-first candidate chunk lists per ray tile.
+    ot/dt: [T,3,RT]. Returns (cand [T,NC] i32, count [T,1] i32)."""
+
+    def per_tile(args):
+        o3, d3 = args                                     # [3,RT]
+        dsafe = jnp.where(jnp.abs(d3) > 1e-20, d3,
+                          jnp.where(d3 >= 0, 1e-20, -1e-20))
+        inv = 1.0 / dsafe                                 # [3,RT]
+        t1 = (lo_c.T[:, None, :] - o3[:, :, None]) * inv[:, :, None]
+        t2 = (hi_c.T[:, None, :] - o3[:, :, None]) * inv[:, :, None]
+        # [3, RT, NC]
+        t_entry = jnp.max(jnp.minimum(t1, t2), axis=0)    # [RT,NC]
+        t_exit = jnp.min(jnp.maximum(t1, t2), axis=0)
+        overlap = (t_entry <= t_exit) & (t_exit > t_min) & chunk_valid[None]
+        score = jnp.min(jnp.where(overlap, jnp.maximum(t_entry, 0.0),
+                                  jnp.inf), axis=0)       # [NC]
+        order = jnp.argsort(score).astype(jnp.int32)
+        count = jnp.sum(jnp.isfinite(score)).astype(jnp.int32)
+        return order, count[None]
+
+    T = ot.shape[0]
+    g = max(1, min(group, T))
+    n_groups = -(-T // g)
+    pad = n_groups * g - T
+    o_in = jnp.pad(ot, ((0, pad), (0, 0), (0, 0)))
+    d_in = jnp.pad(dt, ((0, pad), (0, 0), (0, 0)), constant_values=1.0)
+    cand, count = jax.lax.map(
+        jax.vmap(per_tile),
+        (o_in.reshape(n_groups, g, *ot.shape[1:]),
+         d_in.reshape(n_groups, g, *dt.shape[1:])))
+    NC = lo_c.shape[0]
+    return (cand.reshape(-1, 1, NC)[:T], count.reshape(-1, 1)[:T])
+
+
+def intersect_pallas(origins, dirs, vertices, faces, face_valid=None, *,
+                     t_min: float = 0.0, ray_tile: int = RAY_TILE,
+                     tri_chunk: int = TRI_CHUNK,
+                     interpret: bool | None = None) -> Hits:
+    """Closest hit for each ray (TPU Pallas kernel). Misses: t=inf, id=-1.
+    Off-TPU the kernel runs in Pallas interpreter mode (tests)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    from drt_tpu.intersect.culled import _chunk_aabbs
+
+    N = origins.shape[0]
+    F = faces.shape[0]
+    if face_valid is None:
+        face_valid = jnp.ones((F,), dtype=bool)
+
+    shift = jax.lax.stop_gradient(
+        jnp.mean(origins.astype(jnp.float32), axis=0))
+    o = origins.astype(jnp.float32) - shift
+    d = dirs.astype(jnp.float32)
+
+    coef, NC = _coef_packed(vertices, faces, face_valid, shift, tri_chunk)
+    lo_c, hi_c, chunk_valid = _chunk_aabbs(vertices, faces, face_valid,
+                                           shift, tri_chunk)
+
+    pad = (-N) % ray_tile
+    if pad:
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+    T = o.shape[0] // ray_tile
+
+    ot = o.reshape(T, ray_tile, 3).transpose(0, 2, 1)        # [T,3,RT]
+    dt = d.reshape(T, ray_tile, 3).transpose(0, 2, 1)
+    dsafe = jnp.where(jnp.abs(dt) > 1e-20, dt,
+                      jnp.where(dt >= 0, 1e-20, -1e-20))
+    inv3 = 1.0 / dsafe
+    w = jnp.cross(ot, dt, axis=1)                            # [T,3,RT]
+    phiT = jnp.concatenate(
+        [dt, w, ot, jnp.ones((T, 1, ray_tile), jnp.float32)], axis=1)
+
+    cand, count = _candidates(ot, dt, lo_c, hi_c, chunk_valid, t_min)
+
+    kern = functools.partial(_kernel, tri_chunk=tri_chunk, t_min=float(t_min))
+
+    grid_spec = pl.GridSpec(
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # count
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # lo
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # hi
+            pl.BlockSpec((1, 1, NC), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),               # cand
+            pl.BlockSpec((1, 3, ray_tile), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),               # o3
+            pl.BlockSpec((1, 3, ray_tile), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),               # inv3
+            pl.BlockSpec((1, 10, ray_tile), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),               # phiT
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # coef
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((1, NC), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((1, ray_tile), jnp.float32),
+            pltpu.VMEM((1, ray_tile), jnp.int32),
+        ],
+    )
+
+    t_out, id_out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 1, ray_tile), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, ray_tile), jnp.int32),
+        ],
+        interpret=interpret,
+    )(count, lo_c, hi_c, cand, ot, inv3, phiT, coef)
+
+    return Hits(t_out.reshape(-1)[:N], id_out.reshape(-1)[:N])

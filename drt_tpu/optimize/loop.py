@@ -77,6 +77,22 @@ def default_silhouette_budget(num_edges: int) -> int:
     return b
 
 
+def find_resume_pass(checkpoint_dir: str, name: str):
+    """Latest per-pass checkpoint (pass index, path) or None — gives the
+    restart-from-pass capability the reference lacks (SURVEY.md §5)."""
+    import re
+    if not checkpoint_dir or not os.path.isdir(checkpoint_dir):
+        return None
+    best = None
+    for fname in os.listdir(checkpoint_dir):
+        m = re.fullmatch(rf"{re.escape(name)}_pass(\d+)\.ply", fname)
+        if m:
+            i = int(m.group(1))
+            if best is None or i > best[0]:
+                best = (i, os.path.join(checkpoint_dir, fname))
+    return best
+
+
 def optimize(
     hp: HyperParams,
     data: CaptureData,
@@ -86,6 +102,8 @@ def optimize(
     checkpoint_dir: Optional[str] = None,
     log_fn: Callable = print,
     log_every: int = 100,
+    metrics=None,
+    resume: bool = False,
 ) -> MeshState:
     """Run the full LOD optimization; returns the final MeshState.
 
@@ -100,13 +118,25 @@ def optimize(
     weights = LossWeights(ray_w=hp.ray_w, vh_w=hp.vh_w, sm_w=hp.sm_w,
                           ior=hp.ior, ext_ior=hp.ext_ior)
 
+    if isinstance(metrics, str):
+        from drt_tpu.utils.metrics import MetricsLogger
+        metrics = MetricsLogger(metrics)
+
     v_np, f_np = np.asarray(init_vertices), np.asarray(init_faces)
+    start_pass = 0
+    if resume and checkpoint_dir:
+        found = find_resume_pass(checkpoint_dir, hp.name)
+        if found is not None:
+            from drt_tpu.mesh import load_ply
+            start_pass = found[0] + 1
+            v_np, f_np = load_ply(found[1])
+            log_fn(f"resuming from pass {found[0]} checkpoint {found[1]}")
     mesh = build_mesh_state(v_np, f_np)
 
     steps = {}   # silhouette budget -> compiled step fn
     t_start = time.time()
 
-    for i_pass in range(hp.num_passes):
+    for i_pass in range(start_pass, hp.num_passes):
         remesh_len = interp_reciprocal(hp.start_len, hp.end_len, i_pass,
                                        hp.num_passes)
         lr = interp_reciprocal(hp.start_lr, hp.lr_decay * hp.start_lr,
@@ -147,6 +177,9 @@ def optimize(
                        f"ray={float(aux['ray']):g} vh={float(aux['vh']):g} "
                        f"sm={float(aux['sm']):g} "
                        f"maxgrad={float(aux['max_grad']):g}")
+                if metrics is not None:
+                    metrics.log({"pass": i_pass, "iter": it,
+                                 "loss": loss, **aux})
 
         mesh = mesh.with_vertices(init_v + params)
 

@@ -47,7 +47,7 @@ def ray_loss(mesh, view, intersect_fn: Callable, ior: float,
     target = safe_normalize(target)
     diff = res.direction - target
     m = (valid & res.valid)[:, None]
-    return jnp.sum(jnp.where(m, diff * diff, 0.0))
+    return jnp.sum(jnp.where(m, diff * diff, 0.0)), res.stats
 
 
 def silhouette_loss(mesh, view, intersect_fn: Callable, budget: int,
@@ -77,8 +77,11 @@ def total_loss(mesh, views, ray_view_idx, silh_view_idx, intersect_fn,
                silhouette_budget: int):
     """Weighted sum (reference all_loss, optim.py:110-130). silh_view_idx is
     a static-length [S] array of view indices (the reference uses 8)."""
-    rl = ray_loss(mesh, views.take(ray_view_idx), intersect_fn,
-                  weights.ior, weights.ext_ior) if weights.ray_w else 0.0
+    if weights.ray_w:
+        rl, trace_stats = ray_loss(mesh, views.take(ray_view_idx),
+                                   intersect_fn, weights.ior, weights.ext_ior)
+    else:
+        rl, trace_stats = 0.0, {}
 
     if weights.vh_w:
         def one(idx):
@@ -93,5 +96,5 @@ def total_loss(mesh, views, ray_view_idx, silh_view_idx, intersect_fn,
     total = (weights.ray_w * 217.5 / resy / resy * rl
              + weights.vh_w * 217.5 / resy * vh
              + weights.sm_w * mesh.mean_len / 10.0 * sm)
-    aux = {"ray": rl, "vh": vh, "sm": sm}
+    aux = {"ray": rl, "vh": vh, "sm": sm, **trace_stats}
     return total, aux

@@ -27,6 +27,7 @@ class TraceResult(NamedTuple):
     origin: jnp.ndarray     # [N,3] exit-ray origin (zeros where invalid)
     direction: jnp.ndarray  # [N,3] exit-ray direction (zeros where invalid)
     valid: jnp.ndarray      # [N] bool — refracted twice AND escaped the mesh
+    stats: dict             # diagnostic counters (see trace2)
 
 
 def refract_ray(origin, direction, t, n, int_ior, ext_ior,
@@ -81,10 +82,15 @@ def trace2(origin, direction, mesh, intersect_fn: Callable,
     """
     active = jnp.ones(origin.shape[:-1], dtype=bool)
     o, d = origin, direction
-    for _ in range(2):
+    stats = {}
+    for b in range(2):
+        prev = jnp.sum(active)
         o, d, active = _bounce(o, d, active, mesh, intersect_fn,
                                int_ior, ext_ior, offset_eps)
-    return o, d, active
+        # survivors after this bounce; the drop is miss+TIR lanes
+        stats[f"active_after_bounce{b + 1}"] = jnp.sum(active)
+        stats[f"dropped_bounce{b + 1}"] = prev - jnp.sum(active)
+    return o, d, active, stats
 
 
 def render_transparent(origin, direction, mesh, intersect_fn: Callable,
@@ -94,12 +100,15 @@ def render_transparent(origin, direction, mesh, intersect_fn: Callable,
     mesh) — the reference's third occlusion query (DiffRender.py:420-432).
     Dense per-pixel output; invalid lanes are zeroed like the reference's
     scatter into zeros."""
-    o, d, active = trace2(origin, direction, mesh, intersect_fn,
-                          int_ior, ext_ior, offset_eps)
+    o, d, active, stats = trace2(origin, direction, mesh, intersect_fn,
+                                 int_ior, ext_ior, offset_eps)
     hits = intersect_fn(o, d, mesh.vertices, mesh.faces, mesh.face_valid)
     valid = active & jnp.logical_not(hits.hit)
+    stats["occluded_exit"] = jnp.sum(active & hits.hit)
+    stats["valid_rays"] = jnp.sum(valid)
     m = valid[..., None]
-    return TraceResult(jnp.where(m, o, 0.0), jnp.where(m, d, 0.0), valid)
+    return TraceResult(jnp.where(m, o, 0.0), jnp.where(m, d, 0.0), valid,
+                       stats)
 
 
 def render_mask(origin, direction, mesh, intersect_fn: Callable) -> jnp.ndarray:

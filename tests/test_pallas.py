@@ -1,0 +1,46 @@
+"""Pallas closest-hit kernel vs the brute oracle (interpreter mode on CPU;
+the same code compiles with Mosaic on TPU — benchmarked in BASELINE.md)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from drt_tpu.intersect.brute import intersect_brute
+from drt_tpu.intersect.pallas_kernel import intersect_pallas
+from drt_tpu.mesh import build_mesh_state
+from tests.meshes import make_cube, make_icosphere
+from tests.test_culled import scene_rays
+
+
+def _check(ms, o, d, mismatch_tol=0):
+    hb = intersect_brute(o, d, ms.vertices, ms.faces, ms.face_valid)
+    hp = intersect_pallas(o, d, ms.vertices, ms.faces, ms.face_valid,
+                          interpret=True)
+    hr, hn = np.asarray(hb.hit), np.asarray(hp.hit)
+    assert (hr != hn).sum() <= mismatch_tol
+    both = hr & hn
+    np.testing.assert_allclose(np.asarray(hp.t)[both],
+                               np.asarray(hb.t)[both], rtol=1e-5, atol=1e-4)
+
+
+def test_cube():
+    v, f = make_cube(size=80.0)
+    ms = build_mesh_state(v, f)
+    o, d = scene_rays(600, seed=2)
+    _check(ms, o, d)
+
+
+def test_sphere_multichunk():
+    v, f = make_icosphere(subdivisions=4, radius=50.0)
+    ms = build_mesh_state(v, f)
+    o, d = scene_rays(1024, seed=3)
+    _check(ms, o, d, mismatch_tol=2)
+
+
+def test_inside_rays():
+    v, f = make_icosphere(subdivisions=3, radius=50.0)
+    ms = build_mesh_state(v, f)
+    rng = np.random.default_rng(5)
+    o = jnp.asarray(rng.uniform(-20, 20, (300, 3)), jnp.float32)
+    d = rng.normal(size=(300, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    _check(ms, o, jnp.asarray(d, jnp.float32), mismatch_tol=1)
