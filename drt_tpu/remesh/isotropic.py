@@ -280,21 +280,36 @@ def tangential_smooth(v: np.ndarray, f: np.ndarray, lam: float = 0.5):
 
 def isotropic_remesh(vertices: np.ndarray, faces: np.ndarray,
                      target_len: float, iterations: int = 3,
-                     project: bool = True):
+                     project: bool = True, use_native: bool = True):
     """Returns (vertices, faces) remeshed toward uniform edge length
-    `target_len` (MLX TargetLen, optim.py:22; 3 iterations, optim.py:19)."""
+    `target_len` (MLX TargetLen, optim.py:22; 3 iterations, optim.py:19).
+
+    The split/collapse/flip/smooth sweep runs in the native C++ core
+    (native/remesh.cpp) when available — exact sequential Botsch-Kobbelt,
+    ~100x faster on large meshes — with this module's batched numpy
+    implementation as the fallback. Reprojection onto the original surface
+    happens here either way (the Python side owns the spatial index)."""
     v = np.asarray(vertices, dtype=np.float64).copy()
     f = np.asarray(faces, dtype=np.int64).copy()
     surface = SurfaceIndex(v, f) if project else None
+
+    native = None
+    if use_native:
+        from drt_tpu.remesh.native import load_native, native_remesh_iteration
+        if load_native() is not None:
+            native = native_remesh_iteration
 
     lmax = 4.0 / 3.0 * target_len
     lmin = 4.0 / 5.0 * target_len
 
     for _ in range(iterations):
-        v, f = split_long_edges(v, f, lmax)
-        v, f = collapse_short_edges(v, f, lmin, lmax)
-        f = flip_edges(v, f)
-        v = tangential_smooth(v, f)
+        if native is not None:
+            v, f = native(v, f, target_len)
+        else:
+            v, f = split_long_edges(v, f, lmax)
+            v, f = collapse_short_edges(v, f, lmin, lmax)
+            f = flip_edges(v, f)
+            v = tangential_smooth(v, f)
         if surface is not None:
             v, _ = surface.closest_points(v)
     return v, f

@@ -101,3 +101,32 @@ class TestHausdorff:
         v2, f2 = make_icosphere(subdivisions=3, radius=11.0)
         st = hausdorff_distance(v1, f1, v2, f2)
         assert st.mean == pytest.approx(1.0, abs=0.15)
+
+
+class TestNativeCore:
+    def test_native_available_and_matches_fallback_semantics(self):
+        """The C++ core and the numpy fallback both satisfy the remesh
+        contract (watertight, edge band, surface fidelity) on the same
+        input."""
+        from drt_tpu.remesh.native import load_native
+        assert load_native() is not None, "native core failed to build"
+        v, f = make_icosphere(subdivisions=2, radius=10.0)
+        for use_native in (True, False):
+            v2, f2 = isotropic_remesh(v, f, target_len=1.5,
+                                      use_native=use_native)
+            topo = check_watertight(v2, f2)
+            e = np.linalg.norm(v2[topo.edges[:, 0]] - v2[topo.edges[:, 1]],
+                               axis=1)
+            assert 0.9 < e.mean() < 2.2, (use_native, e.mean())
+            _, d = SurfaceIndex(v, f).closest_points(v2)
+            assert d.max() < 0.05
+
+    def test_native_large_coarsen(self):
+        from drt_tpu.remesh.native import load_native
+        if load_native() is None:
+            import pytest
+            pytest.skip("no toolchain")
+        v, f = make_icosphere(subdivisions=5, radius=10.0)  # 20480 faces
+        v2, f2 = isotropic_remesh(v, f, target_len=3.0)
+        topo = check_watertight(v2, f2)
+        assert len(f2) < len(f) // 10
