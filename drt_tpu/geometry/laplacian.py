@@ -27,3 +27,29 @@ def uniform_laplacian_smooth(vertices: jnp.ndarray, neighbors: jnp.ndarray,
     """Laplacian displacement: vertices − neighbor mean
     (reference laplac_hook, DiffRender.py:403-409)."""
     return vertices - neighbor_average(vertices, neighbors, neighbor_valid)
+
+
+def laplacian_grad_hook(grad, vertices, neighbors, neighbor_valid,
+                        weight: float) -> jnp.ndarray:
+    """Gradient-hook regularizer: add `weight * laplacian(vertices)` to the
+    vertex gradient (the reference's experimental laplac_hook,
+    DiffRender.py:403-409; disabled by default there and here — provided
+    for capability parity, usable as an extra optax-style transform)."""
+    import jax
+    lap = uniform_laplacian_smooth(jax.lax.stop_gradient(vertices),
+                                   neighbors, neighbor_valid)
+    return weight * lap + grad
+
+
+def laplacian_normal_grad_hook(grad, vertices, normals, neighbors,
+                               neighbor_valid, weight: float,
+                               threshold: float = 0.005) -> jnp.ndarray:
+    """Normal-projected variant (reference laplac_normal_hook,
+    DiffRender.py:411-418): the Laplacian is projected on the vertex normal
+    and small magnitudes are zeroed before being added to the gradient."""
+    import jax
+    lap = uniform_laplacian_smooth(jax.lax.stop_gradient(vertices),
+                                   neighbors, neighbor_valid)
+    ln = jnp.sum(lap * normals, axis=1, keepdims=True)
+    ln = jnp.where(jnp.abs(ln) < threshold, 0.0, ln)
+    return weight * ln + grad

@@ -1,0 +1,70 @@
+"""Multi-device sharding on the virtual 8-device CPU mesh (SURVEY.md §4):
+the sharded train step must produce the same numbers as the single-device
+step, with the ray batch partitioned across devices."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from drt_tpu.config import HyperParams
+from drt_tpu.data import synthesize_capture
+from drt_tpu.intersect import get_intersect_fn
+from drt_tpu.mesh import build_mesh_state
+from drt_tpu.optimize.loop import make_train_step
+from drt_tpu.optimize.losses import LossWeights
+from drt_tpu.parallel import make_ray_mesh, replicate, shard_views
+from tests.meshes import make_icosphere
+
+
+@pytest.fixture(scope="module")
+def setup():
+    gt_v, gt_f = make_icosphere(subdivisions=2, radius=50.0)
+    cap = synthesize_capture(gt_v, gt_f, num_views=4, resy=16, resx=16,
+                             ior=1.5, backend="brute", num_view_used=4)
+    v0, f0 = make_icosphere(subdivisions=1, radius=50.0)
+    ms = build_mesh_state(v0, f0)
+    hp = HyperParams()
+    weights = LossWeights(ray_w=hp.ray_w, vh_w=hp.vh_w, sm_w=hp.sm_w,
+                          ior=1.5, ext_ior=hp.ext_ior)
+    step = make_train_step(get_intersect_fn("brute"), weights, 16, 16,
+                           silhouette_budget=128, momentum=hp.momentum)
+    return cap, ms, step
+
+
+def _run(step, ms, views, lr=0.1):
+    params = jnp.zeros_like(ms.vertices)
+    buf = jnp.zeros_like(ms.vertices)
+    ray_idx = jnp.asarray(1, jnp.int32)
+    silh_idx = jnp.asarray([0, 1, 2, 3, 0, 1, 2, 3], jnp.int32)
+    return step(params, buf, jnp.asarray(lr, jnp.float32), ms.vertices,
+                ms, views, ray_idx, silh_idx)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_sharded_matches_single(setup):
+    cap, ms, step = setup
+    p1, b1, loss1, aux1 = _run(step, ms, cap.views)
+
+    mesh = make_ray_mesh(jax.devices()[:8])
+    views_s = shard_views(mesh, cap.views)
+    ms_s = replicate(mesh, ms)
+    p2, b2, loss2, aux2 = _run(step, ms_s, views_s)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_ray_arrays_actually_sharded(setup):
+    cap, _, _ = setup
+    mesh = make_ray_mesh(jax.devices()[:8])
+    views_s = shard_views(mesh, cap.views)
+    sh = views_s.origin.sharding
+    # the pixel axis is split across the 8 devices
+    assert len(sh.device_set) == 8
+    shard_shapes = {s.data.shape for s in views_s.origin.addressable_shards}
+    assert shard_shapes == {(4, 256 // 8, 3)}
