@@ -36,6 +36,8 @@ class HyperParams:
     num_view: int = 72           # views used for the refraction loss
 
     # --- TPU-framework-specific knobs (no reference equivalent) ---
+    ray_views_per_iter: int = 1  # refraction views averaged per step; >1
+                                 # tames gradient noise at low capture res
     dtype: str = "float32"       # compute dtype for the differentiable path
     backend: str = "auto"        # intersect backend: auto|brute|culled|pallas
     silhouette_budget: Optional[int] = None  # static silhouette-edge budget

@@ -164,8 +164,10 @@ def optimize(
         ray_gen = data.ray_view_generator(seed=hp.seed + i_pass)
         silh_gen = data.silh_view_generator(seed=hp.seed + 1000 + i_pass)
 
+        rvpi = max(1, hp.ray_views_per_iter)
         for it in range(hp.iters):
-            ray_idx = jnp.asarray(next(ray_gen), dtype=jnp.int32)
+            ray_idx = jnp.asarray([next(ray_gen) for _ in range(rvpi)],
+                                  dtype=jnp.int32)
             # 8 silhouette views per step (optim.py:72).
             silh_idx = jnp.asarray([next(silh_gen) for _ in range(8)],
                                    dtype=jnp.int32)

@@ -76,10 +76,21 @@ def total_loss(mesh, views, ray_view_idx, silh_view_idx, intersect_fn,
                weights: LossWeights, resy: int, resx: int,
                silhouette_budget: int):
     """Weighted sum (reference all_loss, optim.py:110-130). silh_view_idx is
-    a static-length [S] array of view indices (the reference uses 8)."""
+    a static-length [S] array of view indices (the reference uses 8).
+    ray_view_idx may be a scalar (reference parity: 1 refraction view per
+    step, optim.py:95) or a [R] array — multiple views are averaged, which
+    tames the per-view gradient noise of low-resolution captures (the
+    reference's regime is ~1.2M rays/view where one view suffices)."""
     if weights.ray_w:
-        rl, trace_stats = ray_loss(mesh, views.take(ray_view_idx),
-                                   intersect_fn, weights.ior, weights.ext_ior)
+        ray_view_idx = jnp.atleast_1d(jnp.asarray(ray_view_idx))
+
+        def one_ray(idx):
+            return ray_loss(mesh, views.take(idx), intersect_fn,
+                            weights.ior, weights.ext_ior)
+
+        rls, stats = jax.lax.map(one_ray, ray_view_idx)
+        rl = jnp.mean(rls)
+        trace_stats = {k: jnp.sum(v) for k, v in stats.items()}
     else:
         rl, trace_stats = 0.0, {}
 

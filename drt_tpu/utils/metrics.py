@@ -21,6 +21,9 @@ class MetricsLogger:
 
     def __init__(self, path: Optional[str] = None):
         self.path = path
+        if path:
+            import os
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self._fh: Optional[IO] = open(path, "a") if path else None
         self.history: list[dict] = []
         self._t0 = time.perf_counter()
