@@ -88,6 +88,49 @@ def cmd_evaluate(args):
     print(f"mean={st.mean:.6f} rms={st.rms:.6f} max={st.max:.6f}")
 
 
+def cmd_render(args):
+    """Render diagnostic images of a mesh (mask + refraction validity) from
+    a synthetic ring camera — visual QA without a capture."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from drt_tpu.data.synthetic import intrinsics, look_at_extrinsic
+    from drt_tpu.intersect import get_intersect_fn
+    from drt_tpu.mesh import build_mesh_state, load_ply
+    from drt_tpu.render import render_mask, render_transparent
+    from drt_tpu.render.camera import CameraM, generate_rays
+    from drt_tpu.utils.images import save_image
+
+    v, f = load_ply(args.mesh)
+    ms = build_mesh_state(v, f)
+    fn = get_intersect_fn(args.backend)
+    center = v.mean(axis=0)
+    radius = float(np.linalg.norm(v - center, axis=1).max())
+    th = np.deg2rad(args.angle)
+    cam_pos = center + 3.5 * radius * np.array(
+        [np.cos(th), np.sin(th), 0.17])
+    R = look_at_extrinsic(cam_pos, center)
+    K = intrinsics(args.res, args.res)
+    cam = CameraM(jnp.asarray(R, jnp.float32), jnp.asarray(K, jnp.float32),
+                  jnp.asarray(np.linalg.inv(R), jnp.float32),
+                  jnp.asarray(np.linalg.inv(K), jnp.float32))
+    origin, ray_dir = generate_rays(args.res, args.res, cam)
+    mask = render_mask(origin, ray_dir, ms, fn)
+    res = render_transparent(origin, ray_dir, ms, fn, args.ior)
+    import os
+    os.makedirs(args.out_dir, exist_ok=True)
+    base = os.path.splitext(os.path.basename(args.mesh))[0]
+    save_image(os.path.join(args.out_dir, f"{base}_mask.png"),
+               np.asarray(mask), args.res, args.res)
+    save_image(os.path.join(args.out_dir, f"{base}_valid.png"),
+               np.asarray(res.valid.astype(jnp.float32)), args.res, args.res)
+    dirs = np.asarray(res.direction)
+    save_image(os.path.join(args.out_dir, f"{base}_exitdir.png"),
+               (dirs * 0.5 + 0.5) * np.asarray(res.valid)[:, None],
+               args.res, args.res)
+    print(f"wrote {base}_mask/valid/exitdir.png to {args.out_dir}")
+
+
 def cmd_remesh(args):
     from drt_tpu.mesh import load_ply, save_ply
     from drt_tpu.remesh import isotropic_remesh
@@ -144,6 +187,15 @@ def main(argv=None):
     e.add_argument("--gt", required=True)
     e.add_argument("--one-sided", action="store_true")
     e.set_defaults(fn=cmd_evaluate)
+
+    rr = sub.add_parser("render", help="diagnostic renders of a mesh")
+    rr.add_argument("--mesh", required=True)
+    rr.add_argument("--out-dir", default="result/renders")
+    rr.add_argument("--res", type=int, default=512)
+    rr.add_argument("--angle", type=float, default=30.0)
+    rr.add_argument("--ior", type=float, default=1.4723)
+    rr.add_argument("--backend", default="auto")
+    rr.set_defaults(fn=cmd_render)
 
     m = sub.add_parser("remesh", help="isotropic explicit remeshing")
     m.add_argument("--mesh", required=True)

@@ -50,16 +50,9 @@ def get_intersect_fn(backend: str = "auto", **kw) -> Callable:
     elif backend == "culled":
         from drt_tpu.intersect.culled import intersect_culled as fn
     elif backend == "pallas":
-        from drt_tpu.intersect.culled import intersect_culled
-        from drt_tpu.intersect.pallas_kernel import intersect_pallas, pallas_fits
-
-        def fn(origins, dirs, vertices, faces, face_valid=None, **kw2):
-            if pallas_fits(faces.shape[0]):
-                return intersect_pallas(origins, dirs, vertices, faces,
-                                        face_valid, **kw2)
-            # coefficient tensor too big for VMEM residency
-            return intersect_culled(origins, dirs, vertices, faces,
-                                    face_valid, **kw2)
+        # handles all mesh sizes: VMEM-resident coefficients for small
+        # meshes, HBM-streaming double-buffered DMA for large ones
+        from drt_tpu.intersect.pallas_kernel import intersect_pallas as fn
     else:
         raise ValueError(f"unknown intersect backend: {backend}")
 

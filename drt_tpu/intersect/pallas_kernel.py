@@ -122,6 +122,94 @@ def _kernel(count_ref, lo_ref, hi_ref, cand_ref, o3_ref, inv3_ref, phiT_ref,
     id_out_ref[0] = best_id_ref[...]
 
 
+def _kernel_stream(count_ref, lo_ref, hi_ref, cand_ref, o3_ref, inv3_ref,
+                   phiT_ref, coef_hbm, t_out_ref, id_out_ref,
+                   cand_smem, cand_dma_sem, coef_buf, coef_sems,
+                   best_t_ref, best_id_ref, *, tri_chunk, t_min):
+    """Streaming variant: the coefficient tensor stays in HBM; each
+    candidate chunk's [4C,10] block is DMA'd into one of two VMEM slots
+    while the previous chunk computes (double buffering). Handles meshes of
+    any size (the VMEM-resident variant caps at ~65k padded faces)."""
+    o3 = o3_ref[0]
+    inv3 = inv3_ref[0]
+    phiT = phiT_ref[0]
+
+    dma = pltpu.make_async_copy(cand_ref.at[0], cand_smem, cand_dma_sem)
+    dma.start()
+
+    best_t_ref[...] = jnp.full(best_t_ref.shape, jnp.inf, jnp.float32)
+    best_id_ref[...] = jnp.full(best_id_ref.shape, -1, jnp.int32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (tri_chunk, 1), 0)
+
+    dma.wait()
+    count = count_ref[pl.program_id(0), 0]
+
+    def coef_dma(slot, i):
+        return pltpu.make_async_copy(coef_hbm.at[cand_smem[0, i]],
+                                     coef_buf.at[slot], coef_sems.at[slot])
+
+    @pl.when(count > 0)
+    def _():
+        coef_dma(0, 0).start()
+
+    def cand_body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < count)
+        def _():
+            coef_dma(1 - slot, i + 1).start()
+
+        c = cand_smem[0, i]
+
+        def axis_interval(ax):
+            t1 = (lo_ref[c, ax] - o3[ax:ax + 1, :]) * inv3[ax:ax + 1, :]
+            t2 = (hi_ref[c, ax] - o3[ax:ax + 1, :]) * inv3[ax:ax + 1, :]
+            return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+        e0, x0 = axis_interval(0)
+        e1, x1 = axis_interval(1)
+        e2, x2 = axis_interval(2)
+        t_entry = jnp.maximum(jnp.maximum(e0, e1), e2)
+        t_exit = jnp.minimum(jnp.minimum(x0, x1), x2)
+        overlap = ((t_entry <= t_exit) & (t_exit > t_min)
+                   & (t_entry < best_t_ref[...]))
+
+        coef_dma(slot, i).wait()
+
+        @pl.when(jnp.any(overlap))
+        def _():
+            vals = jax.lax.dot_general(
+                coef_buf[slot], phiT,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            det = vals[0 * tri_chunk:1 * tri_chunk, :]
+            ud = vals[1 * tri_chunk:2 * tri_chunk, :]
+            vd = vals[2 * tri_chunk:3 * tri_chunk, :]
+            td = vals[3 * tri_chunk:4 * tri_chunk, :]
+            s = jnp.sign(det)
+            absdet = jnp.abs(det)
+            eps = _UV_EPS * absdet
+            ok = ((absdet > 1e-16)
+                  & (ud * s >= -eps) & (vd * s >= -eps)
+                  & ((ud + vd) * s <= absdet + eps)
+                  & (td * s > t_min * absdet))
+            t_all = jnp.where(
+                ok, td / jnp.where(absdet > 1e-16, det, 1.0), jnp.inf)
+            cmin = jnp.min(t_all, axis=0, keepdims=True)
+            amin = jnp.min(jnp.where(t_all <= cmin, row_ids, tri_chunk),
+                           axis=0, keepdims=True)
+            better = cmin < best_t_ref[...]
+            best_id_ref[...] = jnp.where(
+                better, c * tri_chunk + amin, best_id_ref[...])
+            best_t_ref[...] = jnp.where(better, cmin, best_t_ref[...])
+
+        return 0
+
+    jax.lax.fori_loop(0, count, cand_body, 0)
+    t_out_ref[0] = best_t_ref[...]
+    id_out_ref[0] = best_id_ref[...]
+
+
 def _coef_packed(vertices, faces, face_valid, shift, tri_chunk):
     """[NC, 4*C, 10] coefficient tensor (rows det|ud|vd|td per chunk)."""
     from drt_tpu.intersect.culled import _triangle_coefficients, _pad_axis0
@@ -209,37 +297,64 @@ def intersect_pallas(origins, dirs, vertices, faces, face_valid=None, *,
 
     cand, count = _candidates(ot, dt, lo_c, hi_c, chunk_valid, t_min)
 
-    kern = functools.partial(_kernel, tri_chunk=tri_chunk, t_min=float(t_min))
+    # Small meshes: whole coef tensor VMEM-resident. Large: HBM + per-chunk
+    # double-buffered DMA (the streaming kernel).
+    resident = NC * tri_chunk * 4 * 10 * 4 <= VMEM_COEF_LIMIT_BYTES
 
-    grid_spec = pl.GridSpec(
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),               # count
-            pl.BlockSpec(memory_space=pltpu.SMEM),               # lo
-            pl.BlockSpec(memory_space=pltpu.SMEM),               # hi
-            pl.BlockSpec((1, 1, NC), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),               # cand
-            pl.BlockSpec((1, 3, ray_tile), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),               # o3
-            pl.BlockSpec((1, 3, ray_tile), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),               # inv3
-            pl.BlockSpec((1, 10, ray_tile), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),               # phiT
-            pl.BlockSpec(memory_space=pltpu.VMEM),               # coef
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.SMEM((1, NC), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.VMEM((1, ray_tile), jnp.float32),
-            pltpu.VMEM((1, ray_tile), jnp.int32),
-        ],
-    )
+    common_in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),               # count
+        pl.BlockSpec(memory_space=pltpu.SMEM),               # lo
+        pl.BlockSpec(memory_space=pltpu.SMEM),               # hi
+        pl.BlockSpec((1, 1, NC), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),               # cand
+        pl.BlockSpec((1, 3, ray_tile), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),               # o3
+        pl.BlockSpec((1, 3, ray_tile), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),               # inv3
+        pl.BlockSpec((1, 10, ray_tile), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),               # phiT
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, ray_tile), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    base_scratch = [
+        pltpu.SMEM((1, NC), jnp.int32),
+        pltpu.SemaphoreType.DMA,
+    ]
+
+    if resident:
+        kern = functools.partial(_kernel, tri_chunk=tri_chunk,
+                                 t_min=float(t_min))
+        grid_spec = pl.GridSpec(
+            grid=(T,),
+            in_specs=common_in_specs + [
+                pl.BlockSpec(memory_space=pltpu.VMEM),       # coef resident
+            ],
+            out_specs=out_specs,
+            scratch_shapes=base_scratch + [
+                pltpu.VMEM((1, ray_tile), jnp.float32),
+                pltpu.VMEM((1, ray_tile), jnp.int32),
+            ],
+        )
+    else:
+        kern = functools.partial(_kernel_stream, tri_chunk=tri_chunk,
+                                 t_min=float(t_min))
+        grid_spec = pl.GridSpec(
+            grid=(T,),
+            in_specs=common_in_specs + [
+                pl.BlockSpec(memory_space=pltpu.ANY),        # coef in HBM
+            ],
+            out_specs=out_specs,
+            scratch_shapes=base_scratch + [
+                pltpu.VMEM((2, 4 * tri_chunk, 10), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((1, ray_tile), jnp.float32),
+                pltpu.VMEM((1, ray_tile), jnp.int32),
+            ],
+        )
 
     t_out, id_out = pl.pallas_call(
         kern,

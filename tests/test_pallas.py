@@ -44,3 +44,20 @@ def test_inside_rays():
     d = rng.normal(size=(300, 3))
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     _check(ms, o, jnp.asarray(d, jnp.float32), mismatch_tol=1)
+
+
+def test_streaming_variant_matches_brute(monkeypatch):
+    """Force the HBM-streaming double-buffered path (used for meshes whose
+    coefficient tensor exceeds VMEM) and verify it against brute."""
+    import drt_tpu.intersect.pallas_kernel as PK
+    monkeypatch.setattr(PK, "VMEM_COEF_LIMIT_BYTES", 1024)
+    v, f = make_icosphere(subdivisions=4, radius=50.0)
+    ms = build_mesh_state(v, f)
+    o, d = scene_rays(512, seed=7)
+    hb = intersect_brute(o, d, ms.vertices, ms.faces, ms.face_valid)
+    hp = PK.intersect_pallas(o, d, ms.vertices, ms.faces, ms.face_valid,
+                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(hb.hit), np.asarray(hp.hit))
+    both = np.asarray(hb.hit)
+    np.testing.assert_allclose(np.asarray(hp.t)[both],
+                               np.asarray(hb.t)[both], rtol=1e-5, atol=1e-4)
