@@ -38,7 +38,7 @@ def cmd_reconstruct(args):
         momentum=args.momentum, start_lr=args.start_lr,
         lr_decay=args.lr_decay, start_len=args.start_len,
         end_len=args.end_len, num_view=args.num_view, backend=args.backend,
-        seed=args.seed,
+        seed=args.seed, ray_views_per_iter=args.ray_views_per_iter,
     )
 
     init_path = args.init_mesh or f"{DEFAULT_DATA_PATH}{hp.name}_vh.ply"
@@ -50,10 +50,13 @@ def cmd_reconstruct(args):
         gt_v, gt_f = load_ply(gt_path)
         print(f"synthesizing capture from {gt_path} "
               f"({args.views} views at {args.resy}x{args.resx})...")
+        cache = (f"result/capture_cache/{hp.name}_{args.views}v_"
+                 f"{args.resy}x{args.resx}.npz")
         data = synthesize_capture(
             gt_v, gt_f, name=hp.name, num_views=args.views,
             resy=args.resy, resx=args.resx, ior=hp.ior,
-            backend=hp.backend, num_view_used=min(hp.num_view, args.views))
+            backend=hp.backend, num_view_used=min(hp.num_view, args.views),
+            cache_path=cache)
     else:
         from drt_tpu.data import load_h5_capture
         data = load_h5_capture(args.data, hp.name, num_view_used=hp.num_view)
@@ -170,6 +173,8 @@ def main(argv=None):
     r.add_argument("--start-len", type=float, default=hp.start_len)
     r.add_argument("--end-len", type=float, default=hp.end_len)
     r.add_argument("--num-view", type=int, default=hp.num_view)
+    r.add_argument("--ray-views-per-iter", type=int,
+                   default=hp.ray_views_per_iter)
     r.add_argument("--backend", default="auto",
                    choices=["auto", "brute", "culled", "pallas"])
     r.add_argument("--seed", type=int, default=0)

@@ -67,9 +67,26 @@ def synthesize_capture(
     elevation_deg: float = 10.0,
     backend: str = "auto",
     num_view_used: int = 72,
+    cache_path: str | None = None,
 ) -> CaptureData:
     """Render a synthetic environment-matting capture of `gt` and return it
-    in the same per-view structure the h5 loader produces."""
+    in the same per-view structure the h5 loader produces.
+
+    cache_path: optional .npz path — loaded if it exists, written after
+    synthesis otherwise (rendering a high-res capture takes minutes)."""
+    import os
+
+    if cache_path and os.path.exists(cache_path):
+        z = np.load(cache_path)
+        views = [dict(screen_pixel=z[f"sp{i}"], valid=z[f"va{i}"],
+                      mask=z[f"mk{i}"], origin=z[f"or{i}"],
+                      ray_dir=z[f"rd{i}"], R=z[f"R{i}"], K=z[f"K{i}"])
+                 for i in range(int(z["num_views"]))]
+        return CaptureData(name=name, resy=int(z["resy"]),
+                           resx=int(z["resx"]),
+                           num_views=int(z["num_views"]),
+                           views=stack_views(views),
+                           num_view_used=num_view_used)
     center = gt_vertices.mean(axis=0)
     radius = float(np.linalg.norm(gt_vertices - center, axis=1).max())
     cam_dist = cam_distance_factor * radius
@@ -121,6 +138,17 @@ def synthesize_capture(
             ray_dir=np.asarray(ray_dir),
             R=R, K=K,
         ))
+
+    if cache_path:
+        os.makedirs(os.path.dirname(os.path.abspath(cache_path)),
+                    exist_ok=True)
+        payload = {"num_views": num_views, "resy": resy, "resx": resx}
+        for i, vw in enumerate(views):
+            payload.update({f"sp{i}": vw["screen_pixel"], f"va{i}": vw["valid"],
+                            f"mk{i}": vw["mask"], f"or{i}": vw["origin"],
+                            f"rd{i}": vw["ray_dir"], f"R{i}": vw["R"],
+                            f"K{i}": vw["K"]})
+        np.savez_compressed(cache_path, **payload)
 
     return CaptureData(
         name=name, resy=resy, resx=resx, num_views=num_views,

@@ -21,10 +21,11 @@ The hardware-native replacement for the reference's OptiX Prime backend
      the four [C, RT] quantities are static sublane slices,
    - division-free sign-aware hit classification, min-reduce update.
 
-Rays live in the LANE dimension throughout ([*, RAY_TILE] blocks); the whole
-coefficient tensor is VMEM-resident (meshes to ~65k padded faces — all
-bundled *_vh meshes except dog/monkey); bigger meshes fall back to the XLA
-culled backend via `pallas_fits`.
+Rays live in the LANE dimension throughout ([*, RAY_TILE] blocks). Small
+meshes keep the whole coefficient tensor VMEM-resident; larger meshes use
+the streaming variant (_kernel_stream): coefficients stay in HBM and each
+candidate chunk's block is double-buffered into VMEM by async DMA that
+overlaps the previous chunk's MXU matmul.
 
 Exactness: the candidate list is complete (no budget/truncation), so results
 bit-match the brute oracle up to shared-edge ties; validated in tests.
@@ -253,7 +254,13 @@ def _candidates(ot, dt, lo_c, hi_c, chunk_valid, t_min, group=16):
         (o_in.reshape(n_groups, g, *ot.shape[1:]),
          d_in.reshape(n_groups, g, *dt.shape[1:])))
     NC = lo_c.shape[0]
-    return (cand.reshape(-1, 1, NC)[:T], count.reshape(-1, 1)[:T])
+    cand = cand.reshape(-1, 1, NC)[:T]
+    # pad the candidate-id list to the 128-lane tile so the VMEM->SMEM DMA
+    # slice is aligned (small meshes can have NC as low as 1)
+    NCp = -(-NC // 128) * 128
+    if NCp != NC:
+        cand = jnp.pad(cand, ((0, 0), (0, 0), (0, NCp - NC)))
+    return (cand, count.reshape(-1, 1)[:T])
 
 
 def intersect_pallas(origins, dirs, vertices, faces, face_valid=None, *,
@@ -296,6 +303,7 @@ def intersect_pallas(origins, dirs, vertices, faces, face_valid=None, *,
         [dt, w, ot, jnp.ones((T, 1, ray_tile), jnp.float32)], axis=1)
 
     cand, count = _candidates(ot, dt, lo_c, hi_c, chunk_valid, t_min)
+    NCp = cand.shape[2]                    # lane-aligned candidate capacity
 
     # Small meshes: whole coef tensor VMEM-resident. Large: HBM + per-chunk
     # double-buffered DMA (the streaming kernel).
@@ -305,7 +313,7 @@ def intersect_pallas(origins, dirs, vertices, faces, face_valid=None, *,
         pl.BlockSpec(memory_space=pltpu.SMEM),               # count
         pl.BlockSpec(memory_space=pltpu.SMEM),               # lo
         pl.BlockSpec(memory_space=pltpu.SMEM),               # hi
-        pl.BlockSpec((1, 1, NC), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, NCp), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),               # cand
         pl.BlockSpec((1, 3, ray_tile), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),               # o3
@@ -321,7 +329,7 @@ def intersect_pallas(origins, dirs, vertices, faces, face_valid=None, *,
                      memory_space=pltpu.VMEM),
     ]
     base_scratch = [
-        pltpu.SMEM((1, NC), jnp.int32),
+        pltpu.SMEM((1, NCp), jnp.int32),
         pltpu.SemaphoreType.DMA,
     ]
 
