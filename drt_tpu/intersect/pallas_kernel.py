@@ -16,9 +16,9 @@ The hardware-native replacement for the reference's OptiX Prime backend
    - a per-ray slab re-test tightened by the running best_t (candidates
      arrive nearest-first, so later chunks often prune to nothing),
    - under `pl.when(any(overlap))`, Moller-Trumbore for the whole chunk as
-     ONE MXU matmul: vals = coef[c] @ phiT with the Plucker coefficient
-     packing of intersect/culled.py — rows grouped det|u*det|v*det|t*det so
-     the four [C, RT] quantities are static sublane slices,
+     ONE MXU matmul: vals = coef[c]^T @ phiT with the Plucker coefficient
+     packing of intersect/culled.py — columns grouped det|u*det|v*det|t*det
+     so the four [C, RT] quantities are static sublane slices,
    - division-free sign-aware hit classification, min-reduce update.
 
 Rays live in the LANE dimension throughout ([*, RAY_TILE] blocks). Small
@@ -93,7 +93,7 @@ def _kernel(count_ref, lo_ref, hi_ref, cand_ref, o3_ref, inv3_ref, phiT_ref,
         def _():
             vals = jax.lax.dot_general(
                 coef_ref[c], phiT,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)          # [4C, RT]
             det = vals[0 * tri_chunk:1 * tri_chunk, :]
             ud = vals[1 * tri_chunk:2 * tri_chunk, :]
@@ -181,7 +181,7 @@ def _kernel_stream(count_ref, lo_ref, hi_ref, cand_ref, o3_ref, inv3_ref,
         def _():
             vals = jax.lax.dot_general(
                 coef_buf[slot], phiT,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             det = vals[0 * tri_chunk:1 * tri_chunk, :]
             ud = vals[1 * tri_chunk:2 * tri_chunk, :]
@@ -212,14 +212,16 @@ def _kernel_stream(count_ref, lo_ref, hi_ref, cand_ref, o3_ref, inv3_ref,
 
 
 def _coef_packed(vertices, faces, face_valid, shift, tri_chunk):
-    """[NC, 4*C, 10] coefficient tensor (rows det|ud|vd|td per chunk)."""
+    """[NC, 10, 4*C] coefficient tensor (columns det|ud|vd|td blocks of C
+    triangles). The 4C last dim is lane-aligned, which both the MXU matmul
+    and the streaming DMA slices require."""
     from drt_tpu.intersect.culled import _triangle_coefficients, _pad_axis0
     coef = _triangle_coefficients(vertices, faces, face_valid, shift)
     coef = _pad_axis0(coef, tri_chunk)                 # [Fp, 10, 4]
     NC = coef.shape[0] // tri_chunk
-    # [NC, C, 10, 4] -> [NC, 4, C, 10] -> [NC, 4C, 10]
-    c4 = coef.reshape(NC, tri_chunk, 10, 4).transpose(0, 3, 1, 2)
-    return c4.reshape(NC, 4 * tri_chunk, 10), NC
+    # [NC, C, 10, 4] -> [NC, 10, 4, C] -> [NC, 10, 4C]
+    c4 = coef.reshape(NC, tri_chunk, 10, 4).transpose(0, 2, 3, 1)
+    return c4.reshape(NC, 10, 4 * tri_chunk), NC
 
 
 def _candidates(ot, dt, lo_c, hi_c, chunk_valid, t_min, group=16):
@@ -357,7 +359,7 @@ def intersect_pallas(origins, dirs, vertices, faces, face_valid=None, *,
             ],
             out_specs=out_specs,
             scratch_shapes=base_scratch + [
-                pltpu.VMEM((2, 4 * tri_chunk, 10), jnp.float32),
+                pltpu.VMEM((2, 10, 4 * tri_chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((1, ray_tile), jnp.float32),
                 pltpu.VMEM((1, ray_tile), jnp.int32),
