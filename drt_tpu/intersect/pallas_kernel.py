@@ -59,7 +59,7 @@ def _kernel(count_ref, lo_ref, hi_ref, cand_ref, o3_ref, inv3_ref, phiT_ref,
             tri_chunk, t_min):
     o3 = o3_ref[0]            # [3, RT]
     inv3 = inv3_ref[0]        # [3, RT]
-    phiT = phiT_ref[0]        # [10, RT]
+    phiT = phiT_ref[0]        # [16, RT] (zero-padded Plucker features)
 
     # Stage the tile's candidate ids into SMEM for scalar indexing.
     dma = pltpu.make_async_copy(cand_ref.at[0], cand_smem, dma_sem)
@@ -219,9 +219,12 @@ def _coef_packed(vertices, faces, face_valid, shift, tri_chunk):
     coef = _triangle_coefficients(vertices, faces, face_valid, shift)
     coef = _pad_axis0(coef, tri_chunk)                 # [Fp, 10, 4]
     NC = coef.shape[0] // tri_chunk
-    # [NC, C, 10, 4] -> [NC, 10, 4, C] -> [NC, 10, 4C]
+    # [NC, C, 10, 4] -> [NC, 10, 4, C] -> [NC, 10, 4C]; the feature dim is
+    # zero-padded 10 -> 16 to satisfy the (8, 128) sublane/lane tiling of
+    # DMA slices (phi is padded to match, so the extra rows are inert)
     c4 = coef.reshape(NC, tri_chunk, 10, 4).transpose(0, 2, 3, 1)
-    return c4.reshape(NC, 10, 4 * tri_chunk), NC
+    c4 = c4.reshape(NC, 10, 4 * tri_chunk)
+    return jnp.pad(c4, ((0, 0), (0, 6), (0, 0))), NC
 
 
 def _candidates(ot, dt, lo_c, hi_c, chunk_valid, t_min, group=16):
@@ -302,7 +305,8 @@ def intersect_pallas(origins, dirs, vertices, faces, face_valid=None, *,
     inv3 = 1.0 / dsafe
     w = jnp.cross(ot, dt, axis=1)                            # [T,3,RT]
     phiT = jnp.concatenate(
-        [dt, w, ot, jnp.ones((T, 1, ray_tile), jnp.float32)], axis=1)
+        [dt, w, ot, jnp.ones((T, 1, ray_tile), jnp.float32),
+         jnp.zeros((T, 6, ray_tile), jnp.float32)], axis=1)  # [T,16,RT]
 
     cand, count = _candidates(ot, dt, lo_c, hi_c, chunk_valid, t_min)
     NCp = cand.shape[2]                    # lane-aligned candidate capacity
@@ -321,7 +325,7 @@ def intersect_pallas(origins, dirs, vertices, faces, face_valid=None, *,
                      memory_space=pltpu.VMEM),               # o3
         pl.BlockSpec((1, 3, ray_tile), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),               # inv3
-        pl.BlockSpec((1, 10, ray_tile), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 16, ray_tile), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),               # phiT
     ]
     out_specs = [
@@ -359,7 +363,7 @@ def intersect_pallas(origins, dirs, vertices, faces, face_valid=None, *,
             ],
             out_specs=out_specs,
             scratch_shapes=base_scratch + [
-                pltpu.VMEM((2, 10, 4 * tri_chunk), jnp.float32),
+                pltpu.VMEM((2, 16, 4 * tri_chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((1, ray_tile), jnp.float32),
                 pltpu.VMEM((1, ray_tile), jnp.int32),
