@@ -77,8 +77,8 @@ def _kernel(count_ref, lo_ref, hi_ref, cand_ref, o3_ref, inv3_ref, phiT_ref,
 
         # Per-ray slab re-test, tightened by the running best.
         def axis_interval(ax):
-            t1 = (lo_ref[c, ax] - o3[ax:ax + 1, :]) * inv3[ax:ax + 1, :]
-            t2 = (hi_ref[c, ax] - o3[ax:ax + 1, :]) * inv3[ax:ax + 1, :]
+            t1 = (lo_ref[3 * c + ax] - o3[ax:ax + 1, :]) * inv3[ax:ax + 1, :]
+            t2 = (hi_ref[3 * c + ax] - o3[ax:ax + 1, :]) * inv3[ax:ax + 1, :]
             return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
 
         e0, x0 = axis_interval(0)
@@ -118,7 +118,7 @@ def _kernel(count_ref, lo_ref, hi_ref, cand_ref, o3_ref, inv3_ref, phiT_ref,
 
         return 0
 
-    jax.lax.fori_loop(0, count_ref[pl.program_id(0), 0], cand_body, 0)
+    jax.lax.fori_loop(0, count_ref[pl.program_id(0)], cand_body, 0)
     t_out_ref[0] = best_t_ref[...]
     id_out_ref[0] = best_id_ref[...]
 
@@ -143,7 +143,7 @@ def _kernel_stream(count_ref, lo_ref, hi_ref, cand_ref, o3_ref, inv3_ref,
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (tri_chunk, 1), 0)
 
     dma.wait()
-    count = count_ref[pl.program_id(0), 0]
+    count = count_ref[pl.program_id(0)]
 
     def coef_dma(slot, i):
         return pltpu.make_async_copy(coef_hbm.at[cand_smem[0, i]],
@@ -163,8 +163,8 @@ def _kernel_stream(count_ref, lo_ref, hi_ref, cand_ref, o3_ref, inv3_ref,
         c = cand_smem[0, i]
 
         def axis_interval(ax):
-            t1 = (lo_ref[c, ax] - o3[ax:ax + 1, :]) * inv3[ax:ax + 1, :]
-            t2 = (hi_ref[c, ax] - o3[ax:ax + 1, :]) * inv3[ax:ax + 1, :]
+            t1 = (lo_ref[3 * c + ax] - o3[ax:ax + 1, :]) * inv3[ax:ax + 1, :]
+            t2 = (hi_ref[3 * c + ax] - o3[ax:ax + 1, :]) * inv3[ax:ax + 1, :]
             return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
 
         e0, x0 = axis_interval(0)
@@ -378,6 +378,7 @@ def intersect_pallas(origins, dirs, vertices, faces, face_valid=None, *,
             jax.ShapeDtypeStruct((T, 1, ray_tile), jnp.int32),
         ],
         interpret=interpret,
-    )(count, lo_c, hi_c, cand, ot, inv3, phiT, coef)
+    )(count.reshape(-1), lo_c.reshape(-1), hi_c.reshape(-1), cand, ot,
+      inv3, phiT, coef)
 
     return Hits(t_out.reshape(-1)[:N], id_out.reshape(-1)[:N])
