@@ -34,10 +34,15 @@ class ViewBatch(NamedTuple):
     K_inv: jnp.ndarray         # [V,3,3]
 
     def take(self, v):
-        """Select one view by (traced or concrete) index."""
+        """Select one view by (traced or concrete) index. Origins stored
+        compactly ([V,1,3] when constant per view — pinhole captures) are
+        broadcast back to per-pixel here."""
         cam = CameraM(self.R[v], self.K[v], self.R_inv[v], self.K_inv[v])
+        origin = self.origin[v]
+        if origin.shape[0] == 1 and self.ray_dir.shape[1] != 1:
+            origin = jnp.broadcast_to(origin, self.ray_dir[v].shape)
         return (self.screen_pixel[v], self.valid[v], self.mask[v],
-                self.origin[v], self.ray_dir[v], cam)
+                origin, self.ray_dir[v], cam)
 
 
 @dataclasses.dataclass
@@ -83,6 +88,14 @@ def stack_views(view_list, dtype=jnp.float32) -> ViewBatch:
     def cat(key):
         return np.stack([np.asarray(v[key]) for v in view_list])
 
+    def cat_origin():
+        """Store pinhole origins compactly: [V,1,3] when every pixel of a
+        view shares one origin (saves ~1GB at capture resolution)."""
+        arrs = [np.asarray(v["origin"]) for v in view_list]
+        if all((a == a[0]).all() for a in arrs):
+            return np.stack([a[:1] for a in arrs])
+        return np.stack(arrs)
+
     R = cat("R").astype(np.float64)
     K = cat("K").astype(np.float64)
     R_inv = np.linalg.inv(R)
@@ -91,7 +104,7 @@ def stack_views(view_list, dtype=jnp.float32) -> ViewBatch:
         screen_pixel=jnp.asarray(cat("screen_pixel"), dtype=dtype),
         valid=jnp.asarray(cat("valid").astype(bool)),
         mask=jnp.asarray(cat("mask"), dtype=dtype),
-        origin=jnp.asarray(cat("origin"), dtype=dtype),
+        origin=jnp.asarray(cat_origin(), dtype=dtype),
         ray_dir=jnp.asarray(cat("ray_dir"), dtype=dtype),
         R=jnp.asarray(R, dtype=dtype),
         K=jnp.asarray(K, dtype=dtype),

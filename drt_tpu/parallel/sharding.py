@@ -55,7 +55,8 @@ def shard_views(mesh: Mesh, views: ViewBatch) -> ViewBatch:
         screen_pixel=put(views.screen_pixel, True),
         valid=put(views.valid, True),
         mask=put(views.mask, False),
-        origin=put(views.origin, True),
+        # compact [V,1,3] origins are replicated; per-pixel origins sharded
+        origin=put(views.origin, views.origin.shape[1] > 1),
         ray_dir=put(views.ray_dir, True),
         R=put(views.R, False), K=put(views.K, False),
         R_inv=put(views.R_inv, False), K_inv=put(views.K_inv, False),

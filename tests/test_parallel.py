@@ -63,8 +63,8 @@ def test_ray_arrays_actually_sharded(setup):
     cap, _, _ = setup
     mesh = make_ray_mesh(jax.devices()[:8])
     views_s = shard_views(mesh, cap.views)
-    sh = views_s.origin.sharding
+    sh = views_s.ray_dir.sharding
     # the pixel axis is split across the 8 devices
     assert len(sh.device_set) == 8
-    shard_shapes = {s.data.shape for s in views_s.origin.addressable_shards}
+    shard_shapes = {s.data.shape for s in views_s.ray_dir.addressable_shards}
     assert shard_shapes == {(4, 256 // 8, 3)}
