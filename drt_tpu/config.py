@@ -38,6 +38,8 @@ class HyperParams:
     # --- TPU-framework-specific knobs (no reference equivalent) ---
     ray_views_per_iter: int = 1  # refraction views averaged per step; >1
                                  # tames gradient noise at low capture res
+    bilinear_mask: bool = False  # bilinear soft-mask sampling in the
+                                 # silhouette loss (reference truncates)
     dtype: str = "float32"       # compute dtype for the differentiable path
     backend: str = "auto"        # intersect backend: auto|brute|culled|pallas
     silhouette_budget: Optional[int] = None  # static silhouette-edge budget

@@ -116,7 +116,8 @@ def optimize(
         remesh_fn = isotropic_remesh
     intersect_fn = get_intersect_fn(hp.backend)
     weights = LossWeights(ray_w=hp.ray_w, vh_w=hp.vh_w, sm_w=hp.sm_w,
-                          ior=hp.ior, ext_ior=hp.ext_ior)
+                          ior=hp.ior, ext_ior=hp.ext_ior,
+                          bilinear_mask=hp.bilinear_mask)
 
     if isinstance(metrics, str):
         from drt_tpu.utils.metrics import MetricsLogger

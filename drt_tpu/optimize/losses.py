@@ -34,6 +34,7 @@ class LossWeights(NamedTuple):
     sm_w: float
     ior: float
     ext_ior: float = 1.00029
+    bilinear_mask: bool = False   # see silhouette_loss
 
 
 def ray_loss(mesh, view, intersect_fn: Callable, ior: float,
@@ -51,14 +52,33 @@ def ray_loss(mesh, view, intersect_fn: Callable, ior: float,
 
 
 def silhouette_loss(mesh, view, intersect_fn: Callable, budget: int,
-                    resy: int, resx: int) -> jnp.ndarray:
+                    resy: int, resx: int,
+                    bilinear_mask: bool = False) -> jnp.ndarray:
     """One-view silhouette loss (reference optim.py:67-80): the soft mask
-    sampled at each boundary-crossing silhouette edge vs the 0.5 level."""
+    sampled at each boundary-crossing silhouette edge vs the 0.5 level.
+
+    bilinear_mask=False reproduces the reference's integer truncation of the
+    sample point (DiffRender.py:245); True samples the soft mask bilinearly,
+    removing the +-half-pixel bias (helpful at low capture resolutions)."""
     _sp, _valid, mask_img, origin, _rd, cam = view
     cam_origin = origin[0]
     samples = primary_visibility(mesh, cam, cam_origin, intersect_fn,
                                  budget, resy, resx, detach_depth=True)
-    picked = mask_img[samples.pixel[:, 1], samples.pixel[:, 0]]
+    if bilinear_mask:
+        fx = samples.pixel_f[:, 0]
+        fy = samples.pixel_f[:, 1]
+        x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, resx - 2)
+        y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, resy - 2)
+        wx = jnp.clip(fx - x0, 0.0, 1.0)
+        wy = jnp.clip(fy - y0, 0.0, 1.0)
+        m00 = mask_img[y0, x0]
+        m01 = mask_img[y0, x0 + 1]
+        m10 = mask_img[y0 + 1, x0]
+        m11 = mask_img[y0 + 1, x0 + 1]
+        picked = ((1 - wy) * ((1 - wx) * m00 + wx * m01)
+                  + wy * ((1 - wx) * m10 + wx * m11))
+    else:
+        picked = mask_img[samples.pixel[:, 1], samples.pixel[:, 0]]
     per_edge = jnp.abs(picked - samples.output)
     return jnp.sum(jnp.where(samples.valid, per_edge, 0.0))
 
@@ -97,7 +117,8 @@ def total_loss(mesh, views, ray_view_idx, silh_view_idx, intersect_fn,
     if weights.vh_w:
         def one(idx):
             return silhouette_loss(mesh, views.take(idx), intersect_fn,
-                                   silhouette_budget, resy, resx)
+                                   silhouette_budget, resy, resx,
+                                   bilinear_mask=weights.bilinear_mask)
         vh = jnp.sum(jax.lax.map(one, silh_view_idx))
     else:
         vh = 0.0

@@ -44,6 +44,8 @@ def silhouette_edge_mask(vertices, faces, edge_faces, edge_valid,
 
 class EdgeSamples(NamedTuple):
     pixel: jnp.ndarray    # [K,2] int32 (x, y) sampled pixel per edge
+    pixel_f: jnp.ndarray  # [K,2] float sample point (detached) — for
+                          # bilinear mask sampling
     output: jnp.ndarray   # [K] the 0.5 occupancy value (grads flow here)
     valid: jnp.ndarray    # [K] bool — selected, boundary-crossing, in view
 
@@ -158,4 +160,5 @@ def primary_visibility(mesh, camera: CameraM, cam_origin,
     valid = sel_valid & bc_valid & in_view
     # Clamp so invalid lanes still index safely when gathering the mask image.
     pixel = jnp.clip(pixel, 0, jnp.array([resx - 1, resy - 1], jnp.int32))
-    return EdgeSamples(pixel, output, valid)
+    pixel_f = jax.lax.stop_gradient(jnp.mean(E_pos, axis=1))   # midpoint
+    return EdgeSamples(pixel, pixel_f, output, valid)

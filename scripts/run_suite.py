@@ -1,0 +1,107 @@
+"""8-object reconstruction suite (BASELINE.json config 4).
+
+Runs the full LOD reconstruction for each bundled object from a synthetic
+capture of its scan mesh, evaluates Hausdorff vs the scan ground truth, and
+writes a JSON report. Intended for TPU (hours of compute at full settings);
+the --quick flag runs a reduced schedule.
+
+Usage:
+  python scripts/run_suite.py [--objects hand mouse ...] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ALL_OBJECTS = ["hand", "mouse", "dog", "monkey", "horse", "pig", "rabbit",
+               "tiger"]
+
+
+def run_object(name, args):
+    import numpy as np
+    from drt_tpu.config import (HyperParams, POINTGRAY_OBJECTS,
+                                POINTGRAY_RES, REDMI_RES, DEFAULT_DATA_PATH)
+    from drt_tpu.data import synthesize_capture
+    from drt_tpu.mesh import load_ply, save_ply
+    from drt_tpu.optimize import optimize
+    from drt_tpu.remesh import hausdorff_distance
+
+    resy, resx = (POINTGRAY_RES if name in POINTGRAY_OBJECTS else REDMI_RES)
+    if args.quick:
+        resy, resx = resy // 4, resx // 4
+
+    gt_v, gt_f = load_ply(f"{DEFAULT_DATA_PATH}{name}_scan.ply")
+    v0, f0 = load_ply(f"{DEFAULT_DATA_PATH}{name}_vh.ply")
+
+    cache = os.path.join(args.out_dir, "capture_cache",
+                         f"{name}_{args.views}v_{resy}x{resx}.npz")
+    t0 = time.time()
+    cap = synthesize_capture(gt_v, gt_f, name=name, num_views=args.views,
+                             resy=resy, resx=resx, ior=1.4723,
+                             num_view_used=args.views, cache_path=cache)
+    t_synth = time.time() - t0
+
+    hp = HyperParams(name=name, ior=1.4723,
+                     num_passes=args.passes, iters=args.iters,
+                     start_len=10.0, end_len=args.end_len)
+    ck = os.path.join(args.out_dir, "checkpoints", name)
+    t0 = time.time()
+    mesh = optimize(hp, cap, v0, f0, remesh_fn="isotropic",
+                    checkpoint_dir=ck,
+                    metrics=os.path.join(args.out_dir, f"{name}_metrics.jsonl"))
+    t_opt = time.time() - t0
+
+    v, f = mesh.host_arrays()
+    save_ply(os.path.join(args.out_dir, f"{name}_recons.ply"), v, f)
+    init_h = hausdorff_distance(v0, f0, gt_v, gt_f)
+    final_h = hausdorff_distance(v, f, gt_v, gt_f)
+    return {
+        "object": name, "resy": resy, "resx": resx, "views": args.views,
+        "passes": args.passes, "iters": args.iters,
+        "synth_s": round(t_synth, 1), "optimize_s": round(t_opt, 1),
+        "init_hausdorff_mean": round(init_h.mean, 4),
+        "final_hausdorff_mean": round(final_h.mean, 4),
+        "final_hausdorff_rms": round(final_h.rms, 4),
+        "V": len(v), "F": len(f),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--objects", nargs="*", default=ALL_OBJECTS)
+    ap.add_argument("--views", type=int, default=72)
+    ap.add_argument("--passes", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--end-len", type=float, default=2.0)
+    ap.add_argument("--quick", action="store_true",
+                    help="quarter resolution for smoke runs")
+    ap.add_argument("--out-dir", default="result_suite")
+    args = ap.parse_args()
+
+    from drt_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    report_path = os.path.join(args.out_dir, "suite_report.json")
+    report = []
+    if os.path.exists(report_path):
+        report = json.load(open(report_path))
+        done = {r["object"] for r in report}
+        args.objects = [o for o in args.objects if o not in done]
+
+    for name in args.objects:
+        print(f"=== {name} ===", flush=True)
+        rec = run_object(name, args)
+        report.append(rec)
+        json.dump(report, open(report_path, "w"), indent=1)
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
