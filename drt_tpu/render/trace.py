@@ -31,11 +31,18 @@ class TraceResult(NamedTuple):
 
 
 def refract_ray(origin, direction, t, n, int_ior, ext_ior,
-                offset_eps: float = 1e-5):
+                offset_eps: float = 1e-5, offset_rel: float = 1e-4):
     """One refraction event at a hit point (reference refract_ray,
     DiffRender.py:503-535): pick entering/exiting etas by the sign of
     cos(theta_i), flip the normal for exiting rays, Snell-bend, advance the
-    origin by t and nudge it offset_eps along the new direction.
+    origin by t and nudge it along the new direction.
+
+    The nudge is max(offset_eps, offset_rel * t): the reference's absolute
+    1e-5 (DiffRender.py:532) is below float32 resolution at the bundled
+    meshes' ~100-unit coordinates (ulp ~ 8e-6), which made exit rays re-hit
+    their own surface in the occlusion query (measured: ~1/3 of rays lost
+    vs float64). The relative term is scale-free and geometrically
+    negligible (1e-4 of the path length).
 
     Returns (refracted [N] bool — False on TIR, new_origin, new_dir).
     """
@@ -54,7 +61,10 @@ def refract_ray(origin, direction, t, n, int_ior, ext_ior,
     tir, wt = refract(wo, n_f, eta_i / eta_t)
     refracted = jnp.logical_not(tir)
 
-    new_origin = origin + t[..., None] * direction + offset_eps * wt
+    import jax
+    offset = jax.lax.stop_gradient(
+        jnp.maximum(offset_eps, offset_rel * jnp.abs(t)))[..., None]
+    new_origin = origin + t[..., None] * direction + offset * wt
     return refracted, new_origin, wt
 
 
