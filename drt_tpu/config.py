@@ -36,6 +36,13 @@ class HyperParams:
     num_view: int = 72           # views used for the refraction loss
 
     # --- TPU-framework-specific knobs (no reference equivalent) ---
+    optimizer: str = "sgd"       # sgd (reference parity) | adam | uadam
+    precond: str = "none"        # none (reference parity) | sobolev —
+                                 # Laplacian-preconditioned vertex updates
+                                 # (optimize/precondition.py)
+    precond_lambda: float = 29.0  # Sobolev weight (I + lam*L)
+    cg_iters: int = 64           # CG iterations for the Sobolev solve
+    grad_clamp: float = 1.0      # reference limit_hook clamp (sgd+none only)
     ray_views_per_iter: int = 1  # refraction views averaged per step; >1
                                  # tames gradient noise at low capture res
     bilinear_mask: bool = False  # bilinear soft-mask sampling in the

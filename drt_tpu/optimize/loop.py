@@ -39,33 +39,98 @@ def limit_grad(g: jnp.ndarray, max_abs: float = 1.0) -> jnp.ndarray:
     """The reference's limit_hook (optim.py:155-162): NaN->0, clamp +-1.
     Applied to the raw displacement gradient, before momentum."""
     g = jnp.where(jnp.isnan(g), 0.0, g)
-    return jnp.clip(g, -max_abs, max_abs)
+    if max_abs:
+        g = jnp.clip(g, -max_abs, max_abs)
+    return g
 
 
 def make_train_step(intersect_fn: Callable, weights: LossWeights,
                     resy: int, resx: int, silhouette_budget: int,
-                    momentum: float = 0.95):
-    """Build the jitted train step: loss -> grad -> limit hook ->
-    Nesterov-momentum SGD (same trace form as torch.optim.SGD(nesterov=True),
-    reference optim.py:169)."""
+                    momentum: float = 0.95, optimizer: str = "sgd",
+                    precond: str = "none", precond_lambda: float = 29.0,
+                    cg_iters: int = 64, grad_clamp: float = 1.0):
+    """Build (init_state, step) for one LOD pass.
+
+    optimizer: 'sgd' — Nesterov-momentum SGD, the reference's exact dynamics
+      (optim.py:169) with the limit hook; 'adam' — Adam; 'uadam' — Adam with a
+      uniform (scalar, max-over-coordinates) second moment, the variant of
+      Nicolet et al. 2021 that avoids per-coordinate step distortion.
+    precond: 'none' — optimize a per-vertex displacement p, vertices =
+      init + p (reference parity); 'sobolev' — optimize u with vertices =
+      (I + lam L)^{-1} u (see optimize/precondition.py).
+
+    The reference's +-1 clamp (grad_clamp) is only applied in the parity
+    configuration (sgd + none); under the Sobolev reparameterization the
+    u-space gradient scale is different and clamping would re-introduce
+    exactly the saturation pathology the preconditioner removes.
+    """
+    from drt_tpu.optimize.precondition import sobolev_apply, sobolev_solve
+
+    clamp = grad_clamp if (optimizer == "sgd" and precond == "none") else 0.0
+
+    def init_state(mesh: MeshState):
+        init_v = mesh.vertices
+        if precond == "sobolev":
+            params = sobolev_apply(init_v, mesh.neighbors,
+                                   mesh.neighbor_valid, precond_lambda)
+        else:
+            params = jnp.zeros_like(init_v)
+        zeros = jnp.zeros_like(init_v)
+        return {"params": params, "m": zeros,
+                "v": jnp.zeros((), init_v.dtype),
+                "v_per": zeros, "count": jnp.zeros((), jnp.int32),
+                "init_v": init_v}
 
     @jax.jit
-    def step(params, momentum_buf, lr, init_vertices, mesh: MeshState, views,
-             ray_view_idx, silh_view_idx):
+    def step(state, lr, mesh: MeshState, views, ray_view_idx, silh_view_idx):
         def loss_fn(p):
-            m = mesh.with_vertices(init_vertices + p)
+            if precond == "sobolev":
+                vert = sobolev_solve(p, mesh.neighbors, mesh.neighbor_valid,
+                                     precond_lambda, maxiter=cg_iters)
+            else:
+                vert = state["init_v"] + p
+            m = mesh.with_vertices(vert)
             return total_loss(m, views, ray_view_idx, silh_view_idx,
                               intersect_fn, weights, resy, resx,
                               silhouette_budget)
 
-        (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        g = limit_grad(g)
+        (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"])
+        g = limit_grad(g, clamp)
         aux["max_grad"] = jnp.max(jnp.abs(g))
-        momentum_buf = momentum * momentum_buf + g
-        params = params - lr * (g + momentum * momentum_buf)
-        return params, momentum_buf, loss, aux
 
-    return step
+        params, mom = state["params"], state["m"]
+        if optimizer == "sgd":
+            mom = momentum * mom + g
+            params = params - lr * (g + momentum * mom)
+            new = {**state, "params": params, "m": mom}
+        else:
+            b1, b2, eps = 0.9, 0.999, 1e-8
+            count = state["count"] + 1
+            t = count.astype(g.dtype)
+            mom = b1 * mom + (1 - b1) * g
+            m_hat = mom / (1 - b1 ** t)
+            if optimizer == "uadam":
+                v2 = b2 * state["v"] + (1 - b2) * jnp.max(g * g)
+                denom = jnp.sqrt(v2 / (1 - b2 ** t)) + eps
+                new_v, new_vper = v2, state["v_per"]
+            else:  # adam
+                v2 = b2 * state["v_per"] + (1 - b2) * (g * g)
+                denom = jnp.sqrt(v2 / (1 - b2 ** t)) + eps
+                new_v, new_vper = state["v"], v2
+            params = params - lr * m_hat / denom
+            new = {**state, "params": params, "m": mom, "v": new_v,
+                   "v_per": new_vper, "count": count}
+        return new, loss, aux
+
+    def final_vertices(state, mesh: MeshState):
+        if precond == "sobolev":
+            return sobolev_solve(state["params"], mesh.neighbors,
+                                 mesh.neighbor_valid, precond_lambda,
+                                 maxiter=4 * cg_iters, tol=1e-8)
+        return state["init_v"] + state["params"]
+
+    return init_state, step, final_vertices
 
 
 def default_silhouette_budget(num_edges: int) -> int:
@@ -134,7 +199,8 @@ def optimize(
             log_fn(f"resuming from pass {found[0]} checkpoint {found[1]}")
     mesh = build_mesh_state(v_np, f_np)
 
-    steps = {}   # silhouette budget -> compiled step fn
+    steps = {}   # silhouette budget -> compiled (init_state, step, final)
+    budget_floor = 0   # grown when a pass observes more silhouette edges
     t_start = time.time()
 
     for i_pass in range(start_pass, hp.num_passes):
@@ -149,33 +215,35 @@ def optimize(
             v_np, f_np = remesh_fn(v_np, f_np, remesh_len)
             mesh = build_mesh_state(v_np, f_np)
 
-        budget = (hp.silhouette_budget
-                  or default_silhouette_budget(mesh.num_edges))
+        budget = max(hp.silhouette_budget
+                     or default_silhouette_budget(mesh.num_edges),
+                     budget_floor)
         if budget not in steps:
-            steps[budget] = make_train_step(intersect_fn, weights,
-                                            data.resy, data.resx, budget,
-                                            momentum=hp.momentum)
-        step = steps[budget]
+            steps[budget] = make_train_step(
+                intersect_fn, weights, data.resy, data.resx, budget,
+                momentum=hp.momentum, optimizer=hp.optimizer,
+                precond=hp.precond, precond_lambda=hp.precond_lambda,
+                cg_iters=hp.cg_iters, grad_clamp=hp.grad_clamp)
+        init_state, step, final_vertices = steps[budget]
 
-        # Fresh zero displacement + momentum each pass (optim.py:164-171).
-        init_v = mesh.vertices
-        params = jnp.zeros_like(init_v)
-        momentum_buf = jnp.zeros_like(init_v)
-        lr_j = jnp.asarray(lr, dtype=init_v.dtype)
+        # Fresh optimizer state each pass (optim.py:164-171).
+        state = init_state(mesh)
+        lr_j = jnp.asarray(lr, dtype=mesh.vertices.dtype)
         ray_gen = data.ray_view_generator(seed=hp.seed + i_pass)
         silh_gen = data.silh_view_generator(seed=hp.seed + 1000 + i_pass)
 
         rvpi = max(1, hp.ray_views_per_iter)
+        silh_seen = 0
         for it in range(hp.iters):
             ray_idx = jnp.asarray([next(ray_gen) for _ in range(rvpi)],
                                   dtype=jnp.int32)
             # 8 silhouette views per step (optim.py:72).
             silh_idx = jnp.asarray([next(silh_gen) for _ in range(8)],
                                    dtype=jnp.int32)
-            params, momentum_buf, loss, aux = step(
-                params, momentum_buf, lr_j, init_v, mesh, data.views,
-                ray_idx, silh_idx)
+            state, loss, aux = step(state, lr_j, mesh, data.views,
+                                    ray_idx, silh_idx)
             if it % log_every == 0:
+                silh_seen = max(silh_seen, int(aux["silh_edge_max"]))
                 log_fn(f"  iter {it}: loss={float(loss):g} "
                        f"ray={float(aux['ray']):g} vh={float(aux['vh']):g} "
                        f"sm={float(aux['sm']):g} "
@@ -184,7 +252,19 @@ def optimize(
                     metrics.log({"pass": i_pass, "iter": it,
                                  "loss": loss, **aux})
 
-        mesh = mesh.with_vertices(init_v + params)
+        # Silhouette budget guard: if any observed view had more silhouette
+        # edges than the static budget, samples were truncated — warn loudly
+        # and grow the budget for subsequent passes (next power of two).
+        if silh_seen > budget:
+            grown = budget
+            while grown < silh_seen:
+                grown *= 2
+            budget_floor = grown
+            log_fn(f"  WARNING: silhouette edges ({silh_seen}) exceeded the "
+                   f"sampling budget ({budget}); truncated this pass — "
+                   f"budget grows to {grown} next pass")
+
+        mesh = mesh.with_vertices(final_vertices(state, mesh))
 
         if checkpoint_dir and hp.checkpoint_every_pass:
             os.makedirs(checkpoint_dir, exist_ok=True)

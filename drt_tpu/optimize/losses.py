@@ -80,7 +80,7 @@ def silhouette_loss(mesh, view, intersect_fn: Callable, budget: int,
     else:
         picked = mask_img[samples.pixel[:, 1], samples.pixel[:, 0]]
     per_edge = jnp.abs(picked - samples.output)
-    return jnp.sum(jnp.where(samples.valid, per_edge, 0.0))
+    return jnp.sum(jnp.where(samples.valid, per_edge, 0.0)), samples.count
 
 
 def smooth_loss(mesh) -> jnp.ndarray:
@@ -119,14 +119,19 @@ def total_loss(mesh, views, ray_view_idx, silh_view_idx, intersect_fn,
             return silhouette_loss(mesh, views.take(idx), intersect_fn,
                                    silhouette_budget, resy, resx,
                                    bilinear_mask=weights.bilinear_mask)
-        vh = jnp.sum(jax.lax.map(one, silh_view_idx))
+        vhs, silh_counts = jax.lax.map(one, silh_view_idx)
+        vh = jnp.sum(vhs)
+        # True per-view silhouette-edge counts: the driver compares the max
+        # against the static budget and grows it — no silent truncation.
+        silh_edge_max = jnp.max(silh_counts)
     else:
-        vh = 0.0
+        vh, silh_edge_max = 0.0, jnp.asarray(0, jnp.int32)
 
     sm = smooth_loss(mesh) if weights.sm_w else 0.0
 
     total = (weights.ray_w * 217.5 / resy / resy * rl
              + weights.vh_w * 217.5 / resy * vh
              + weights.sm_w * mesh.mean_len / 10.0 * sm)
-    aux = {"ray": rl, "vh": vh, "sm": sm, **trace_stats}
+    aux = {"ray": rl, "vh": vh, "sm": sm, "silh_edge_max": silh_edge_max,
+           **trace_stats}
     return total, aux

@@ -48,6 +48,9 @@ class EdgeSamples(NamedTuple):
                           # bilinear mask sampling
     output: jnp.ndarray   # [K] the 0.5 occupancy value (grads flow here)
     valid: jnp.ndarray    # [K] bool — selected, boundary-crossing, in view
+    count: jnp.ndarray    # [] int32 — TRUE number of silhouette edges in
+                          # this view (may exceed K; the caller must surface
+                          # count > K instead of truncating silently)
 
 
 def _edge_sample_fwd_math(E_pos, camera: CameraM, cam_origin, intersect_fn,
@@ -142,8 +145,9 @@ def primary_visibility(mesh, camera: CameraM, cam_origin,
     silh = silhouette_edge_mask(
         mesh.vertices, mesh.faces, mesh.edge_faces, mesh.edge_valid,
         cam_origin)
+    silh_count = jnp.sum(silh)
     (edge_idx,) = jnp.nonzero(silh, size=budget, fill_value=0)
-    sel_valid = jnp.arange(budget) < jnp.sum(silh)
+    sel_valid = jnp.arange(budget) < silh_count
 
     ev = mesh.edges[edge_idx]                          # [K,2] vertex indices
     V = mesh.vertices[ev.reshape(-1)]                  # [2K,3]
@@ -161,4 +165,4 @@ def primary_visibility(mesh, camera: CameraM, cam_origin,
     # Clamp so invalid lanes still index safely when gathering the mask image.
     pixel = jnp.clip(pixel, 0, jnp.array([resx - 1, resy - 1], jnp.int32))
     pixel_f = jax.lax.stop_gradient(jnp.mean(E_pos, axis=1))   # midpoint
-    return EdgeSamples(pixel, pixel_f, output, valid)
+    return EdgeSamples(pixel, pixel_f, output, valid, silh_count)

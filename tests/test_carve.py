@@ -1,0 +1,58 @@
+"""Space carving (data/carve.py): occupancy, surface nets, end-to-end hull
+consistency with the capture that produced the masks."""
+
+import numpy as np
+import pytest
+
+from drt_tpu.data import synthesize_capture
+from drt_tpu.data.carve import carved_visual_hull, surface_nets
+from drt_tpu.mesh.topology import build_topology
+from drt_tpu.remesh.hausdorff import hausdorff_distance
+from tests.meshes import make_icosphere
+
+
+def test_surface_nets_sphere_sdf():
+    """Extract a sphere from its analytic field: watertight, outward
+    normals, radius within a voxel."""
+    n = 48
+    ax = np.linspace(-1.2, 1.2, n)
+    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+    r = np.sqrt(gx ** 2 + gy ** 2 + gz ** 2)
+    field = 1.0 - r                     # >0 inside unit sphere; iso 0
+    origin = np.array([-1.2, -1.2, -1.2])
+    spacing = np.full(3, ax[1] - ax[0])
+    v, f = surface_nets(field, origin, spacing, iso=0.0)
+
+    topo = build_topology(f, len(v))
+    assert topo.is_watertight
+    rad = np.linalg.norm(v, axis=1)
+    assert abs(rad.mean() - 1.0) < 0.05
+    # outward orientation: signed volume positive and near 4/3 pi
+    tri = v[f]
+    vol = np.einsum("ij,ij->", np.cross(tri[:, 0], tri[:, 1]), tri[:, 2]) / 6
+    assert abs(vol - 4.0 / 3.0 * np.pi) < 0.4
+
+
+@pytest.fixture(scope="module")
+def sphere_capture():
+    gt_v, gt_f = make_icosphere(subdivisions=3, radius=50.0)
+    cap = synthesize_capture(gt_v, gt_f, num_views=24, resy=96, resx=96,
+                             ior=1.5, backend="brute", num_view_used=24)
+    return gt_v, gt_f, cap
+
+
+def test_carved_hull_contains_and_approximates(sphere_capture):
+    gt_v, gt_f, cap = sphere_capture
+    c = gt_v.mean(0)
+    lo, hi = c - 65.0, c + 65.0
+    v, f = carved_visual_hull(cap, lo, hi, resolution=96, target_len=8.0)
+    topo = build_topology(f.astype(np.int64), len(v))
+    assert topo.is_watertight
+
+    # Hull approximates a convex object tightly (sub-voxel mean distance)
+    h = hausdorff_distance(v, f, gt_v, gt_f)
+    assert h.mean < 1.5, h
+    # Visual-hull property: carved surface stays outside-or-near the object
+    # (distances measured from hull vertices to the object must never be
+    # deeply *inside*; for a convex object, hull ~ object so just tightness)
+    assert h.max < 8.0, h

@@ -27,18 +27,20 @@ def setup():
     hp = HyperParams()
     weights = LossWeights(ray_w=hp.ray_w, vh_w=hp.vh_w, sm_w=hp.sm_w,
                           ior=1.5, ext_ior=hp.ext_ior)
-    step = make_train_step(get_intersect_fn("brute"), weights, 16, 16,
-                           silhouette_budget=128, momentum=hp.momentum)
-    return cap, ms, step
+    init_state, step, _final = make_train_step(
+        get_intersect_fn("brute"), weights, 16, 16,
+        silhouette_budget=128, momentum=hp.momentum)
+    return cap, ms, (init_state, step)
 
 
-def _run(step, ms, views, lr=0.1):
-    params = jnp.zeros_like(ms.vertices)
-    buf = jnp.zeros_like(ms.vertices)
+def _run(step_fns, ms, views, lr=0.1):
+    init_state, step = step_fns
+    state = init_state(ms)
     ray_idx = jnp.asarray(1, jnp.int32)
     silh_idx = jnp.asarray([0, 1, 2, 3, 0, 1, 2, 3], jnp.int32)
-    return step(params, buf, jnp.asarray(lr, jnp.float32), ms.vertices,
-                ms, views, ray_idx, silh_idx)
+    state, loss, aux = step(state, jnp.asarray(lr, jnp.float32),
+                            ms, views, ray_idx, silh_idx)
+    return state["params"], state["m"], loss, aux
 
 
 def test_eight_devices_available():
