@@ -23,17 +23,21 @@ from drt_tpu.data.views import CaptureData, stack_views
 
 
 def load_h5_capture(path: str, name: str, num_view_used: int = 72,
-                    num_views: int = 72) -> CaptureData:
+                    num_views: int = 72, resy: int | None = None,
+                    resx: int | None = None) -> CaptureData:
+    """Load a capture in the reference schema. resy/resx default to the
+    rig the object name maps to (optim.py:133-134); pass them explicitly
+    for non-standard (e.g. synthetic test) resolutions."""
     import h5py
 
     if name in POINTGRAY_OBJECTS:
-        resy, resx = POINTGRAY_RES
-        has_rays = True
+        default_res, has_rays = POINTGRAY_RES, True
     elif name in REDMI_OBJECTS:
-        resy, resx = REDMI_RES
-        has_rays = False
+        default_res, has_rays = REDMI_RES, False
     else:
         raise ValueError(f"unknown object {name!r}")
+    resy = resy if resy is not None else default_res[0]
+    resx = resx if resx is not None else default_res[1]
 
     views = []
     with h5py.File(path, "r") as h5:
@@ -61,3 +65,36 @@ def load_h5_capture(path: str, name: str, num_view_used: int = 72,
 
     return CaptureData(name=name, resy=resy, resx=resx, num_views=num_views,
                        views=stack_views(views), num_view_used=num_view_used)
+
+
+def save_h5_capture(cap: CaptureData, path: str) -> None:
+    """Write a CaptureData out in the reference's h5 schema
+    (captured_data.py:99-108): cam_proj/cam_k/screen_position/mask and, for
+    Pointgray-rig objects, per-pixel ray_origin/ray_dir. Masks are stored
+    binary (the schema's convention; process_mask re-softens them on load).
+
+    Lets synthetic captures be consumed by the upstream reference verbatim,
+    and gives load_h5_capture a round-trip test fixture.
+    """
+    import h5py
+
+    has_rays = cap.name in POINTGRAY_OBJECTS
+    v = cap.views
+    num = cap.num_views
+    n_pix = cap.resy * cap.resx
+    with h5py.File(path, "w") as h5:
+        h5.create_dataset("cam_k", data=np.asarray(v.K[0], np.float64))
+        h5.create_dataset("cam_proj", data=np.asarray(v.R, np.float64))
+        # invalid pixels carry screen_position == 0 (the schema's validity
+        # convention: captured_data.py:106  valid = screen_pixel[:,0] != 0)
+        sp = np.asarray(v.screen_pixel, np.float64).copy()
+        sp[~np.asarray(v.valid)] = 0.0
+        h5.create_dataset("screen_position", data=sp)
+        binary = (np.asarray(v.mask) >= 0.99).astype(np.uint8)
+        h5.create_dataset("mask", data=binary)
+        if has_rays:
+            d = np.asarray(v.ray_dir, np.float64)
+            o = np.broadcast_to(np.asarray(v.origin, np.float64),
+                                (num, n_pix, 3))
+            h5.create_dataset("ray_origin", data=o)
+            h5.create_dataset("ray_dir", data=d)

@@ -174,6 +174,55 @@ def _cleanup_binary(occ: np.ndarray) -> np.ndarray:
     return occ
 
 
+def _make_well_composed(occ: np.ndarray, max_rounds: int = 64) -> np.ndarray:
+    """Repair the binary field until it is well-composed (no 2D checkerboard
+    plaquettes, no solid voxel pairs touching only at a cube corner) — the
+    condition under which surface nets yields a 2-manifold watertight
+    surface. Repairs only ever ADD solid voxels, so the hull property
+    (carved volume contains the object) is preserved.
+    """
+    occ = occ.copy()
+    for _ in range(max_rounds):
+        changed = False
+        # 2D checkerboards in each axis-aligned plane: two solid voxels
+        # sharing only an edge -> fill the two empty diagonal cells.
+        for a, b in ((0, 1), (0, 2), (1, 2)):
+            def sl(da, db):
+                s = [slice(None)] * 3
+                s[a] = slice(da, occ.shape[a] - 1 + da)
+                s[b] = slice(db, occ.shape[b] - 1 + db)
+                return tuple(s)
+            s00, s01 = occ[sl(0, 0)], occ[sl(0, 1)]
+            s10, s11 = occ[sl(1, 0)], occ[sl(1, 1)]
+            cb1 = s00 & s11 & ~s01 & ~s10
+            cb2 = ~s00 & ~s11 & s01 & s10
+            if cb1.any():
+                s01[cb1] = True
+                s10[cb1] = True
+                changed = True
+            if cb2.any():
+                s00[cb2] = True
+                s11[cb2] = True
+                changed = True
+        # 3D corner contacts: exactly two solid voxels in a 2x2x2 block,
+        # diagonally opposite -> fill a face-neighbor of one of them.
+        n0, n1, n2 = occ.shape
+        blk = [occ[dx:n0 - 1 + dx, dy:n1 - 1 + dy, dz:n2 - 1 + dz]
+               for dx, dy, dz in _CORNERS]
+        total = sum(x.astype(np.int8) for x in blk)
+        for i, j in ((0, 7), (1, 6), (2, 5), (3, 4)):
+            pair = blk[i] & blk[j] & (total == 2)
+            if pair.any():
+                # corner i offset (x,y,z); fill the voxel differing in x only
+                fill = _CORNERS[i].copy()
+                fill[0] ^= 1
+                blk[int(fill[0]) + 2 * int(fill[1]) + 4 * int(fill[2])][pair] = True
+                changed = True
+        if not changed:
+            return occ
+    raise ValueError("well-composed repair did not converge")
+
+
 def carved_visual_hull(cap: CaptureData, lo, hi, resolution: int = 128,
                        target_len: float | None = None):
     """Carve a hull from the capture's own masks (self-consistent init).
@@ -191,8 +240,9 @@ def carved_visual_hull(cap: CaptureData, lo, hi, resolution: int = 128,
     field, origin, spacing = carve_occupancy(masks, R, K, lo, hi, resolution)
 
     occ = _cleanup_binary(field > 0.5)
+    occ = _make_well_composed(occ)
     # keep the soft field where it survived cleanup (smooth crossings),
-    # hard 0/1 where cleanup changed the sign
+    # hard 0/1 where repair changed the sign
     field = np.where(occ == (field > 0.5), field, occ.astype(field.dtype))
     v, f = surface_nets(field, origin, spacing)
 
@@ -200,7 +250,7 @@ def carved_visual_hull(cap: CaptureData, lo, hi, resolution: int = 128,
     if not topo.is_watertight:
         from scipy import ndimage
         occ2 = ndimage.binary_closing(occ, iterations=1)
-        occ2 = _cleanup_binary(occ2)
+        occ2 = _make_well_composed(_cleanup_binary(occ2))
         v, f = surface_nets(occ2.astype(np.float64), origin, spacing)
         topo = build_topology(f, len(v))
         if not topo.is_watertight:

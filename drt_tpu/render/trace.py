@@ -31,7 +31,8 @@ class TraceResult(NamedTuple):
 
 
 def refract_ray(origin, direction, t, n, int_ior, ext_ior,
-                offset_eps: float = 1e-5, offset_rel: float = 1e-4):
+                offset_eps: float = 1e-5, offset_rel: float = 1e-4,
+                compat: bool = False):
     """One refraction event at a hit point (reference refract_ray,
     DiffRender.py:503-535): pick entering/exiting etas by the sign of
     cos(theta_i), flip the normal for exiting rays, Snell-bend, advance the
@@ -43,6 +44,12 @@ def refract_ray(origin, direction, t, n, int_ior, ext_ior,
     their own surface in the occlusion query (measured: ~1/3 of rays lost
     vs float64). The relative term is scale-free and geometrically
     negligible (1e-4 of the path length).
+
+    compat=True reproduces the reference chain exactly: the Refract variant
+    that computes cosThetaT from sin²θI (DiffRender.py:42) and the absolute
+    1e-5 origin nudge (DiffRender.py:532) with no relative term. Use with
+    float64 inputs — that is the reference's autograd regime; in float32 the
+    absolute nudge is below ULP at the bundled meshes' scale.
 
     Returns (refracted [N] bool — False on TIR, new_origin, new_dir).
     """
@@ -58,18 +65,22 @@ def refract_ray(origin, direction, t, n, int_ior, ext_ior,
     _, _R = fresnel_dielectric(cos_f, eta_i, eta_t)  # reflectance (unused in
     # the reference's loss too — it keeps only the refracted branch,
     # DiffRender.py:520-530; R is exposed for future reflection support)
-    tir, wt = refract(wo, n_f, eta_i / eta_t)
+    tir, wt = refract(wo, n_f, eta_i / eta_t,
+                      compat_cos_from_incident=compat)
     refracted = jnp.logical_not(tir)
 
     import jax
-    offset = jax.lax.stop_gradient(
-        jnp.maximum(offset_eps, offset_rel * jnp.abs(t)))[..., None]
+    if compat:
+        offset = jnp.asarray(offset_eps, wt.dtype)
+    else:
+        offset = jax.lax.stop_gradient(
+            jnp.maximum(offset_eps, offset_rel * jnp.abs(t)))[..., None]
     new_origin = origin + t[..., None] * direction + offset * wt
     return refracted, new_origin, wt
 
 
 def _bounce(origin, direction, active, mesh, intersect_fn, int_ior, ext_ior,
-            offset_eps):
+            offset_eps, compat=False):
     hits = intersect_fn(origin, direction, mesh.vertices, mesh.faces,
                         mesh.face_valid)
     hit = hits.hit
@@ -78,7 +89,7 @@ def _bounce(origin, direction, active, mesh, intersect_fn, int_ior, ext_ior,
     _u, _v, t, n = moller_trumbore(origin, direction, tri)
     t = jnp.where(hit, t, 1.0)                        # finite on masked lanes
     refracted, new_o, new_d = refract_ray(
-        origin, direction, t, n, int_ior, ext_ior, offset_eps)
+        origin, direction, t, n, int_ior, ext_ior, offset_eps, compat=compat)
     active = active & hit & refracted
     m = active[..., None]
     return jnp.where(m, new_o, origin), jnp.where(m, new_d, direction), active
@@ -86,9 +97,10 @@ def _bounce(origin, direction, active, mesh, intersect_fn, int_ior, ext_ior,
 
 def trace2(origin, direction, mesh, intersect_fn: Callable,
            int_ior: float, ext_ior: float = 1.00029,
-           offset_eps: float = 1e-5):
+           offset_eps: float = 1e-5, compat: bool = False):
     """Exactly two refraction bounces (reference trace2, DiffRender.py:537-546).
     Returns (origin, direction, active): lanes that refracted at both bounces.
+    compat=True: reference-exact chain (see refract_ray).
     """
     active = jnp.ones(origin.shape[:-1], dtype=bool)
     o, d = origin, direction
@@ -96,7 +108,7 @@ def trace2(origin, direction, mesh, intersect_fn: Callable,
     for b in range(2):
         prev = jnp.sum(active)
         o, d, active = _bounce(o, d, active, mesh, intersect_fn,
-                               int_ior, ext_ior, offset_eps)
+                               int_ior, ext_ior, offset_eps, compat=compat)
         # survivors after this bounce; the drop is miss+TIR lanes
         stats[f"active_after_bounce{b + 1}"] = jnp.sum(active)
         stats[f"dropped_bounce{b + 1}"] = prev - jnp.sum(active)
@@ -105,13 +117,14 @@ def trace2(origin, direction, mesh, intersect_fn: Callable,
 
 def render_transparent(origin, direction, mesh, intersect_fn: Callable,
                        int_ior: float, ext_ior: float = 1.00029,
-                       offset_eps: float = 1e-5) -> TraceResult:
+                       offset_eps: float = 1e-5,
+                       compat: bool = False) -> TraceResult:
     """Trace 2 bounces, then require the exit ray to escape (not re-hit the
     mesh) — the reference's third occlusion query (DiffRender.py:420-432).
     Dense per-pixel output; invalid lanes are zeroed like the reference's
     scatter into zeros."""
     o, d, active, stats = trace2(origin, direction, mesh, intersect_fn,
-                                 int_ior, ext_ior, offset_eps)
+                                 int_ior, ext_ior, offset_eps, compat=compat)
     hits = intersect_fn(o, d, mesh.vertices, mesh.faces, mesh.face_valid)
     valid = active & jnp.logical_not(hits.hit)
     stats["occluded_exit"] = jnp.sum(active & hits.hit)
