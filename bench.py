@@ -1,59 +1,104 @@
-"""Benchmark: rays/s through the 2-bounce refraction trace, forward+backward.
+"""Benchmark: rays/s through the 2-bounce refraction trace, forward+backward,
+with roofline accounting (VERDICT.md round-1 item 4).
 
-The BASELINE.json metric. Workload: the bundled mouse visual-hull mesh
-(V=4625, F=9246 — reference data/mouse_vh.ply), a synthetic camera view, and
-the full differentiable pipeline per iteration: 3 closest-hit oracle queries
-(2 bounces + exit occlusion, reference DiffRender.py:425-426,538,542),
-Moller-Trumbore re-intersection, Snell/Fresnel chain, ray loss, and the
-backward pass to vertex gradients.
+Workloads (BENCH_DETAIL.json gets every row; stdout prints ONE headline JSON
+line for the driver):
+  - mouse_vh  (9,246 faces, VMEM-resident kernel)   256x256 + full Pointgray
+    view (1280x960 = 1,228,800 rays — the reference's actual per-iteration
+    batch, captured_data.py:90-91)
+  - dog_vh    (145,666 faces -> HBM-streaming kernel) 256x256 + full view
+  - monkey_vh (184,090 faces -> streaming)            256x256
 
-The reference publishes no numbers (BASELINE.md); the recorded baseline is
-this framework's own initial brute-force implementation measured on the
-single available TPU chip. `vs_baseline` = measured rays/s divided against
-BASELINE_RAYS_PER_S (the round-1 brute-force figure), so later rounds show
-kernel speedups as >1.
+Per config: the full differentiable step (3 closest-hit oracle queries,
+Moller-Trumbore re-intersection, Snell/Fresnel chain, ray loss, backward to
+vertex gradients) and the oracle query alone. Roofline: achieved FLOP/s and
+HBM bytes/s from XLA's compiled cost analysis divided against chip peaks
+(TPU v5e: 197 TFLOP/s bf16 — conservative denominator, the kernel's MT
+matmuls run in f32 — and 819 GB/s HBM).
+
+The reference publishes no numbers (BASELINE.md): `vs_baseline` is measured
+rays/s against this project's own first working implementation (brute-force
+oracle, 440,538 rays/s fwd+bwd, round 1) on the SAME 256x256 mouse workload,
+so rounds are comparable.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
-# Self-established baseline (the reference publishes none, BASELINE.md):
-# the first working implementation of this pipeline — brute-force all-pairs
-# oracle — measured at 440,538 rays/s fwd+bwd on one TPU v5e chip
-# (mouse_vh, 256x256 rays, 2026-08-17). vs_baseline > 1 means the current
-# backend beats that starting point.
-BASELINE_RAYS_PER_S = 4.4e5
+BASELINE_RAYS_PER_S = 4.4e5          # round-1 brute-force, mouse 256x256
+
+# chip peaks for the roofline denominators
+PEAKS = {
+    # device_kind prefix: (name, peak_flops_bf16, hbm_bytes_per_s)
+    "TPU v5 lite": ("v5e", 197e12, 819e9),
+    "TPU v5": ("v5p", 459e12, 2765e9),
+    "TPU v4": ("v4", 275e12, 1228e9),
+}
 
 
-def main(n_side: int = 256, iters: int = 10):
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def chip_peaks():
+    import jax
+    kind = jax.devices()[0].device_kind
+    for prefix, peaks in PEAKS.items():
+        if kind.startswith(prefix):
+            return kind, *peaks
+    return kind, "?", None, None
+
+
+def make_rays(v, resy, resx):
+    """Synthetic camera looking at the mesh: full-pixel-grid rays plus the
+    screen point behind the object (the capture geometry of data/synthetic)."""
+    import jax.numpy as jnp
+    from drt_tpu.data.synthetic import intrinsics, look_at_extrinsic
+    from drt_tpu.render.camera import CameraM, generate_rays
+
+    center = v.mean(axis=0)
+    radius = float(np.linalg.norm(v - center, axis=1).max())
+    cam_pos = center + np.array([3.5 * radius, 0.0, 0.3 * radius])
+    R = look_at_extrinsic(cam_pos, center)
+    K = intrinsics(resy, resx, 45.0)
+    cam = CameraM(jnp.asarray(R, jnp.float32), jnp.asarray(K, jnp.float32),
+                  jnp.asarray(np.linalg.inv(R), jnp.float32),
+                  jnp.asarray(np.linalg.inv(K), jnp.float32))
+    origin, ray_dir = generate_rays(resy, resx, cam)
+    screen_point = jnp.asarray(center - 2.5 * radius * (cam_pos - center)
+                               / np.linalg.norm(cam_pos - center), jnp.float32)
+    return origin, ray_dir, screen_point
+
+
+def cost_of(compiled):
+    """(flops, bytes) from XLA cost analysis; 0s if unavailable."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), \
+            float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
+
+
+def bench_config(name, ply_path, resy, resx, iters, backend="auto"):
     import jax
     import jax.numpy as jnp
-    from drt_tpu.utils import enable_compilation_cache
-    enable_compilation_cache()
     from drt_tpu.geometry.vec import safe_normalize
     from drt_tpu.intersect import get_intersect_fn
     from drt_tpu.mesh import build_mesh_state, load_ply
     from drt_tpu.render import render_transparent
 
-    v, f = load_ply("/root/reference/data/mouse_vh.ply")
+    v, f = load_ply(ply_path)
     ms = build_mesh_state(v, f)
-    intersect_fn = get_intersect_fn("auto")
+    intersect_fn = get_intersect_fn(backend)
     ior, ext_ior = 1.4723, 1.00029
 
-    center = v.mean(axis=0)
-    radius = float(np.linalg.norm(v - center, axis=1).max())
-    cam = center + np.array([3.5 * radius, 0.0, 0.0])
-    ys, zs = np.meshgrid(np.linspace(-1, 1, n_side), np.linspace(-1, 1, n_side))
-    targets = center + radius * 0.9 * np.stack(
-        [np.zeros_like(ys), ys, zs], axis=-1).reshape(-1, 3)
-    d = targets - cam
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-    origin = jnp.asarray(np.broadcast_to(cam, d.shape), jnp.float32)
-    ray_dir = jnp.asarray(d, jnp.float32)
-    screen_point = jnp.asarray(center - np.array([2.5 * radius, 0, 0]),
-                               jnp.float32)
+    origin, ray_dir, screen_point = make_rays(v, resy, resx)
     n_rays = origin.shape[0]
 
     def loss_fn(vertices):
@@ -64,30 +109,95 @@ def main(n_side: int = 256, iters: int = 10):
         diff = res.direction - target
         return jnp.sum(jnp.where(res.valid[:, None], diff * diff, 0.0))
 
+    def time_it(fn, *args, n=iters):
+        out = fn(*args)
+        jax.block_until_ready(out)               # compile + warmup
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n
+
+    # oracle query alone (one closest-hit pass over the full batch)
+    oracle = jax.jit(lambda o, d, vert: intersect_fn(
+        o, d, vert, ms.faces, ms.face_valid).t)
+    dt_oracle = time_it(oracle, origin, ray_dir, ms.vertices)
+
+    # full fwd+bwd step
     step = jax.jit(jax.grad(loss_fn))
+    lowered = step.lower(ms.vertices)
+    compiled = lowered.compile()
+    flops, nbytes = cost_of(compiled)
+    dt_step = time_it(step, ms.vertices)
 
-    g = step(ms.vertices)
-    g.block_until_ready()                      # compile + warmup
-    g = step(ms.vertices)
-    g.block_until_ready()
+    kind, chip, peak_flops, peak_bw = chip_peaks()
+    row = {
+        "mesh": name, "faces": ms.num_faces, "rays": int(n_rays),
+        "res": f"{resx}x{resy}", "backend": backend,
+        "streaming_kernel": ms.faces.shape[0] * 160 > 10 * 1024 * 1024,
+        "step_ms": round(dt_step * 1e3, 2),
+        "rays_per_s_step": round(n_rays / dt_step),
+        "oracle_ms": round(dt_oracle * 1e3, 2),
+        "rays_per_s_oracle": round(n_rays / dt_oracle),
+        "step_gflops": round(flops / 1e9, 2),
+        "achieved_tflops": round(flops / dt_step / 1e12, 3),
+        "achieved_gbps": round(nbytes / dt_step / 1e9, 1),
+    }
+    if peak_flops:
+        row["mfu_pct_vs_bf16_peak"] = round(100 * flops / dt_step
+                                            / peak_flops, 2)
+        row["hbm_bw_pct"] = round(100 * nbytes / dt_step / peak_bw, 1)
+    log(f"  {json.dumps(row)}")
+    return row
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        g = step(ms.vertices)
-    g.block_until_ready()
-    dt = time.perf_counter() - t0
 
-    rays_per_s = n_rays * iters / dt
+def main(full: bool = True):
+    import jax
+    from drt_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    kind, chip, peak_flops, peak_bw = chip_peaks()
+    log(f"device: {kind} ({chip}), peaks: {peak_flops and peak_flops/1e12}"
+        f" TF bf16, {peak_bw and peak_bw/1e9} GB/s")
+
+    data = "/root/reference/data/"
+    rows = []
+    configs = [("mouse_vh", data + "mouse_vh.ply", 256, 256, 10)]
+    if full:
+        configs += [
+            ("mouse_vh", data + "mouse_vh.ply", 960, 1280, 5),
+            ("dog_vh", data + "dog_vh.ply", 256, 256, 5),
+            ("dog_vh", data + "dog_vh.ply", 960, 1280, 3),
+            ("monkey_vh", data + "monkey_vh.ply", 256, 256, 5),
+        ]
+    for cfg in configs:
+        try:
+            rows.append(bench_config(*cfg))
+        except Exception as e:                    # record, don't die
+            log(f"  FAILED {cfg[0]} {cfg[2]}x{cfg[3]}: {e!r}")
+            rows.append({"mesh": cfg[0], "res": f"{cfg[3]}x{cfg[2]}",
+                         "error": repr(e)})
+
+    with open("BENCH_DETAIL.json", "w") as fh:
+        json.dump({"device": kind, "rows": rows}, fh, indent=1)
+
+    head = next((r for r in rows if r["mesh"] == "mouse_vh"
+                 and r.get("rays_per_s_step")), None)
+    full_row = next((r for r in rows if r["mesh"] == "mouse_vh"
+                     and r.get("rays") == 1228800), None)
+    value = (full_row or head)["rays_per_s_step"]
+    metric = ("rays/s fwd+bwd 2-bounce refraction (mouse_vh, "
+              + ("full 1280x960 view" if full_row else "256x256 rays")
+              + ", 1 chip)")
+    # vs_baseline stays on the 256x256 workload so rounds are comparable
     print(json.dumps({
-        "metric": "rays/s fwd+bwd 2-bounce refraction (mouse_vh, "
-                  f"{n_side}x{n_side} rays, 1 chip)",
-        "value": round(rays_per_s),
-        "unit": "rays/s",
-        "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+        "metric": metric, "value": value, "unit": "rays/s",
+        "vs_baseline": round(head["rays_per_s_step"] / BASELINE_RAYS_PER_S,
+                             3),
     }))
 
 
 if __name__ == "__main__":
-    import sys
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    main(n_side=n)
+    main(full="--quick" not in sys.argv)
