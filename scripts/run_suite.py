@@ -71,7 +71,8 @@ def run_object(name, args):
                      start_len=10.0, end_len=args.end_len,
                      optimizer=args.optimizer, precond=args.precond,
                      precond_lambda=args.lam, start_lr=args.lr,
-                     ray_views_per_iter=args.rvpi)
+                     ray_views_per_iter=args.rvpi,
+                     ray_w=args.ray_w, sm_w=args.sm_w, vh_w=args.vh_w)
     ck = os.path.join(args.out_dir, "checkpoints", name)
     t0 = time.time()
     mesh = optimize(hp, cap, v0, f0, remesh_fn="isotropic",
@@ -119,6 +120,9 @@ def main():
     ap.add_argument("--lr", type=float, default=0.1)
     ap.add_argument("--rvpi", type=int, default=1,
                     help="refraction views averaged per iteration")
+    ap.add_argument("--ray-w", type=float, default=40.0)
+    ap.add_argument("--sm-w", type=float, default=0.08)
+    ap.add_argument("--vh-w", type=float, default=2e-3)
     ap.add_argument("--out-dir", default="result_suite")
     args = ap.parse_args()
 

@@ -1,0 +1,123 @@
+"""Verify the gradient all-reduce / backward-pass overlap claim
+(VERDICT.md round-1 item 6) without multi-chip hardware.
+
+Only one physical TPU chip is reachable here, so the claim cannot be
+*measured*; instead this compiles the REAL sharded train computation
+ahead-of-time for an 8-chip v5e topology (jax.experimental.topologies —
+the actual TPU compiler + latency-hiding scheduler, no devices needed) and
+inspects the optimized, scheduled HLO:
+
+- does GSPMD insert exactly the expected V x 3 vertex-gradient all-reduce?
+- is it lowered to an async all-reduce-start / all-reduce-done pair?
+- how many fusions/computations are scheduled BETWEEN start and done
+  (>0 means the scheduler overlaps the collective with backward compute)?
+
+Writes reports/overlap_check.json and prints a summary.
+"""
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# eager ops (mesh building) run on CPU; the sharded step is AOT-compiled
+# for the 8-chip TPU topology below, no TPU devices needed
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from drt_tpu.geometry.vec import safe_normalize
+    from drt_tpu.intersect import get_intersect_fn
+    from drt_tpu.mesh import build_mesh_state, load_ply
+    from drt_tpu.render import render_transparent
+
+    topo = topologies.get_topology_desc(platform="tpu",
+                                        topology_name="v5e:2x4")
+    mesh = Mesh(np.asarray(topo.devices), ("rays",))
+    ray_sharding = NamedSharding(mesh, P("rays", None))
+    rep = NamedSharding(mesh, P())
+
+    v, f = load_ply("/root/reference/data/mouse_vh.ply")
+    ms = build_mesh_state(v, f)
+    n_rays = 1228800                      # full Pointgray view
+    ior, ext_ior = 1.4723, 1.00029
+
+    results = {}
+    for backend in ("pallas", "brute"):
+        intersect_fn = get_intersect_fn(backend)
+
+        def loss_fn(vertices, origin, ray_dir, screen_point):
+            m = ms.with_vertices(vertices)
+            res = render_transparent(origin, ray_dir, m, intersect_fn,
+                                     ior, ext_ior)
+            target = safe_normalize(screen_point - res.origin)
+            diff = res.direction - target
+            return jnp.sum(jnp.where(res.valid[:, None], diff * diff, 0.0))
+
+        grad_fn = jax.jit(
+            jax.grad(loss_fn),
+            in_shardings=(rep, ray_sharding, ray_sharding, rep),
+            out_shardings=rep)
+
+        args = (
+            jax.ShapeDtypeStruct(ms.vertices.shape, jnp.float32,
+                                 sharding=rep),
+            jax.ShapeDtypeStruct((n_rays, 3), jnp.float32,
+                                 sharding=ray_sharding),
+            jax.ShapeDtypeStruct((n_rays, 3), jnp.float32,
+                                 sharding=ray_sharding),
+            jax.ShapeDtypeStruct((3,), jnp.float32, sharding=rep),
+        )
+        try:
+            compiled = grad_fn.lower(*args).compile()
+            hlo = compiled.as_text()
+        except Exception as e:
+            results[backend] = {"error": repr(e)}
+            print(f"{backend}: AOT compile failed: {e!r}")
+            continue
+
+        starts = re.findall(r"all-reduce-start", hlo)
+        dones = re.findall(r"all-reduce-done", hlo)
+        sync = re.findall(r"= all-reduce\(", hlo)
+
+        # overlap: count scheduled ops between each start and its done in
+        # the entry computation's instruction order
+        entry = hlo
+        lines = [ln.strip() for ln in entry.splitlines()
+                 if re.match(r"\s*%?\S+ = ", ln)]
+        gaps = []
+        open_at = {}
+        for idx, ln in enumerate(lines):
+            if "all-reduce-start" in ln:
+                m = re.match(r"%?(\S+?) = ", ln)
+                open_at[m.group(1)] = idx
+            elif "all-reduce-done" in ln:
+                for name, at in list(open_at.items()):
+                    if name in ln:
+                        gaps.append(idx - at - 1)
+                        del open_at[name]
+        results[backend] = {
+            "async_pairs": len(starts),
+            "sync_all_reduces": len(sync),
+            "ops_between_start_done": gaps,
+        }
+        print(f"{backend}: {len(starts)} async all-reduce pair(s), "
+              f"{len(sync)} sync all-reduce(s), ops scheduled between "
+              f"start/done: {gaps}")
+
+    os.makedirs("reports", exist_ok=True)
+    with open("reports/overlap_check.json", "w") as fh:
+        json.dump(results, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()
