@@ -101,12 +101,17 @@ def _vertex_neighbors(f: np.ndarray, num_v: int):
 
 
 def collapse_short_edges(v: np.ndarray, f: np.ndarray, lmin: float,
-                         lmax: float, max_rounds: int = 50):
+                         lmax: float, max_rounds: int = 50,
+                         surface: SurfaceIndex | None = None,
+                         max_surf_dist: float = 0.0):
     """Collapse short edges until none remain (or guards block the rest).
     Each round applies a vertex-disjoint batch (1-ring claimed so collapses
-    commute), so multiple rounds emulate the sequential halfedge sweep."""
+    commute), so multiple rounds emulate the sequential halfedge sweep.
+    With `surface`/`max_surf_dist`, collapses whose midpoint deviates more
+    than max_surf_dist from the original surface are rejected
+    (meshlabserver CheckSurfDist/MaxSurfDist semantics)."""
     for _ in range(max_rounds):
-        v2, f2 = _collapse_round(v, f, lmin, lmax)
+        v2, f2 = _collapse_round(v, f, lmin, lmax, surface, max_surf_dist)
         if len(v2) == len(v):
             break
         v, f = v2, f2
@@ -114,7 +119,8 @@ def collapse_short_edges(v: np.ndarray, f: np.ndarray, lmin: float,
 
 
 def _collapse_round(v: np.ndarray, f: np.ndarray, lmin: float,
-                    lmax: float):
+                    lmax: float, surface: SurfaceIndex | None = None,
+                    max_surf_dist: float = 0.0):
     num_v = len(v)
     nbr, edges = _vertex_neighbors(f, num_v)
     ln = _edge_lengths(v, edges)
@@ -122,6 +128,11 @@ def _collapse_round(v: np.ndarray, f: np.ndarray, lmin: float,
     if len(short) == 0:
         return v, f
     short = short[np.argsort(ln[short])]               # shortest first
+    surf_ok = None
+    if surface is not None and max_surf_dist > 0:
+        mids = 0.5 * (v[edges[short, 0]] + v[edges[short, 1]])
+        _, d = surface.closest_points(mids)
+        surf_ok = dict(zip(short.tolist(), (d <= max_surf_dist).tolist()))
 
     # opposite vertices of each edge (for the link condition) via face scan
     edge_key = {}
@@ -138,6 +149,8 @@ def _collapse_round(v: np.ndarray, f: np.ndarray, lmin: float,
     for ei in short:
         a, b = int(edges[ei, 0]), int(edges[ei, 1])
         if claimed[a] or claimed[b]:
+            continue
+        if surf_ok is not None and not surf_ok[int(ei)]:
             continue
         opp = edge_key[(min(a, b), max(a, b))]
         if len(opp) != 2:
@@ -174,7 +187,9 @@ def _collapse_round(v: np.ndarray, f: np.ndarray, lmin: float,
 
 # --- 3. flip ----------------------------------------------------------------
 
-def flip_edges(v: np.ndarray, f: np.ndarray):
+def flip_edges(v: np.ndarray, f: np.ndarray,
+               surface: SurfaceIndex | None = None,
+               max_surf_dist: float = 0.0):
     num_v = len(v)
     edges, _ = _unique_edges(f, num_v)
     # adjacency: edge -> (two faces, opposite vertices)
@@ -222,6 +237,12 @@ def flip_edges(v: np.ndarray, f: np.ndarray):
         n2 = np.cross(v[c] - v[d], v[b] - v[d])
         if np.dot(n1, n_old) <= 0 or np.dot(n2, n_old) <= 0:
             continue
+        # CheckSurfDist: the new edge midpoint must stay near the original
+        # surface (meshlabserver MaxSurfDist)
+        if surface is not None and max_surf_dist > 0:
+            _, dcd = surface.closest_points(0.5 * (v[c] + v[d])[None])
+            if dcd[0] > max_surf_dist:
+                continue
         # orientation: f1 contains (a,b,c) in some rotation with edge a->b.
         # Determine directed order of (a,b) in f1 to keep winding.
         tri1 = f[f1]
@@ -280,9 +301,16 @@ def tangential_smooth(v: np.ndarray, f: np.ndarray, lam: float = 0.5):
 
 def isotropic_remesh(vertices: np.ndarray, faces: np.ndarray,
                      target_len: float, iterations: int = 3,
-                     project: bool = True, use_native: bool = True):
+                     project: bool = True, use_native: bool = True,
+                     max_surf_dist: float = 1.0):
     """Returns (vertices, faces) remeshed toward uniform edge length
     `target_len` (MLX TargetLen, optim.py:22; 3 iterations, optim.py:19).
+
+    `max_surf_dist` mirrors meshlabserver's CheckSurfDist/MaxSurfDist=1
+    (absolute units, the reference MLX script): collapses/flips that would
+    deviate more than this from the input surface are rejected, which is
+    what preserves thin features (tails, fingers) across coarse LOD passes.
+    Pass <= 0 to disable.
 
     The split/collapse/flip/smooth sweep runs in the native C++ core
     (native/remesh.cpp) when available — exact sequential Botsch-Kobbelt,
@@ -291,7 +319,8 @@ def isotropic_remesh(vertices: np.ndarray, faces: np.ndarray,
     happens here either way (the Python side owns the spatial index)."""
     v = np.asarray(vertices, dtype=np.float64).copy()
     f = np.asarray(faces, dtype=np.int64).copy()
-    surface = SurfaceIndex(v, f) if project else None
+    v0, f0 = v.copy(), f.copy()
+    surface = SurfaceIndex(v, f) if (project or max_surf_dist > 0) else None
 
     native = None
     if use_native:
@@ -304,12 +333,17 @@ def isotropic_remesh(vertices: np.ndarray, faces: np.ndarray,
 
     for _ in range(iterations):
         if native is not None:
-            v, f = native(v, f, target_len)
+            v, f = native(v, f, target_len,
+                          orig_vertices=v0, orig_faces=f0,
+                          max_surf_dist=max_surf_dist)
         else:
             v, f = split_long_edges(v, f, lmax)
-            v, f = collapse_short_edges(v, f, lmin, lmax)
-            f = flip_edges(v, f)
+            v, f = collapse_short_edges(v, f, lmin, lmax,
+                                        surface=surface,
+                                        max_surf_dist=max_surf_dist)
+            f = flip_edges(v, f, surface=surface,
+                           max_surf_dist=max_surf_dist)
             v = tangential_smooth(v, f)
-        if surface is not None:
+        if project and surface is not None:
             v, _ = surface.closest_points(v)
     return v, f

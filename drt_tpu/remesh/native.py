@@ -47,6 +47,9 @@ def load_native():
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.c_double, ctypes.c_double,
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
@@ -56,8 +59,15 @@ def load_native():
 
 
 def native_remesh_iteration(vertices: np.ndarray, faces: np.ndarray,
-                            target_len: float, smooth_lambda: float = 0.5):
+                            target_len: float, smooth_lambda: float = 0.5,
+                            orig_vertices: np.ndarray | None = None,
+                            orig_faces: np.ndarray | None = None,
+                            max_surf_dist: float = 0.0):
     """One split/collapse/flip/smooth iteration via the C++ core.
+    When `orig_vertices/orig_faces` and `max_surf_dist > 0` are given, every
+    collapse/flip is rejected if it would deviate more than `max_surf_dist`
+    from that original surface (meshlabserver CheckSurfDist/MaxSurfDist,
+    reference optim.py MLX script).
     Returns (vertices, faces) or raises RuntimeError if the library is
     unavailable."""
     lib = load_native()
@@ -66,6 +76,12 @@ def native_remesh_iteration(vertices: np.ndarray, faces: np.ndarray,
 
     v = np.ascontiguousarray(vertices, dtype=np.float64)
     f = np.ascontiguousarray(faces, dtype=np.int32)
+    if orig_vertices is None or max_surf_dist <= 0:
+        ov, of = v[:0], f[:0]
+        max_surf_dist = 0.0
+    else:
+        ov = np.ascontiguousarray(orig_vertices, dtype=np.float64)
+        of = np.ascontiguousarray(orig_faces, dtype=np.int32)
 
     # capacity estimate: splits can triple counts at coarse->fine targets
     cap_v = max(4 * len(v) + 4 * len(f), 4096)
@@ -79,6 +95,9 @@ def native_remesh_iteration(vertices: np.ndarray, faces: np.ndarray,
             v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(v),
             f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(f),
             ctypes.c_double(target_len), ctypes.c_double(smooth_lambda),
+            ov.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(ov),
+            of.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(of),
+            ctypes.c_double(max_surf_dist),
             v_out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), cap_v,
             ctypes.byref(nv_out),
             f_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap_f,

@@ -109,6 +109,125 @@ int32_t third_vertex(const Tri& t, int32_t a, int32_t b) {
   return -1;
 }
 
+// ---- original-surface distance guard --------------------------------------
+//
+// The reference's meshlabserver filter runs with CheckSurfDist=true and
+// MaxSurfDist=1 (absolute units, optim.py:16-17 of the MLX script): every
+// local operation must leave the surface within MaxSurfDist of the ORIGINAL
+// mesh. Without this guard, coarse-target collapses eat thin features (the
+// mouse's tail, the hand's fingers) and each LOD pass drifts the surface.
+// SurfaceGrid is a uniform-grid point-to-triangle threshold query over the
+// input mesh: within(p, maxd) <=> dist(p, original surface) <= maxd.
+
+double point_tri_dist2(const V3& p, const V3& a, const V3& b, const V3& c) {
+  // Ericson, Real-Time Collision Detection, closest point on triangle.
+  V3 ab = sub(b, a), ac = sub(c, a), ap = sub(p, a);
+  double d1 = dot(ab, ap), d2 = dot(ac, ap);
+  if (d1 <= 0 && d2 <= 0) { V3 d = sub(p, a); return dot(d, d); }
+  V3 bp = sub(p, b);
+  double d3 = dot(ab, bp), d4 = dot(ac, bp);
+  if (d3 >= 0 && d4 <= d3) { V3 d = sub(p, b); return dot(d, d); }
+  double vc = d1 * d4 - d3 * d2;
+  if (vc <= 0 && d1 >= 0 && d3 <= 0) {
+    double t = d1 / (d1 - d3);
+    V3 d = sub(p, add(a, mul(ab, t)));
+    return dot(d, d);
+  }
+  V3 cp = sub(p, c);
+  double d5 = dot(ab, cp), d6 = dot(ac, cp);
+  if (d6 >= 0 && d5 <= d6) { V3 d = sub(p, c); return dot(d, d); }
+  double vb = d5 * d2 - d1 * d6;
+  if (vb <= 0 && d2 >= 0 && d6 <= 0) {
+    double t = d2 / (d2 - d6);
+    V3 d = sub(p, add(a, mul(ac, t)));
+    return dot(d, d);
+  }
+  double va = d3 * d6 - d5 * d4;
+  if (va <= 0 && (d4 - d3) >= 0 && (d5 - d6) >= 0) {
+    double t = (d4 - d3) / ((d4 - d3) + (d5 - d6));
+    V3 d = sub(p, add(b, mul(sub(c, b), t)));
+    return dot(d, d);
+  }
+  double denom = 1.0 / (va + vb + vc);
+  double v = vb * denom, w = vc * denom;
+  V3 q = add(a, add(mul(ab, v), mul(ac, w)));
+  V3 d = sub(p, q);
+  return dot(d, d);
+}
+
+struct SurfaceGrid {
+  std::vector<V3> v;
+  std::vector<Tri> f;
+  V3 lo{0, 0, 0};
+  double cell = 1.0;
+  int nx = 1, ny = 1, nz = 1;
+  std::vector<std::vector<int32_t>> bins;
+  bool enabled = false;
+
+  void build(const double* v_in, int64_t nv, const int32_t* f_in, int64_t nf,
+             double maxd) {
+    if (maxd <= 0 || nv == 0 || nf == 0) return;
+    enabled = true;
+    v.resize(nv);
+    std::memcpy(v.data(), v_in, sizeof(double) * 3 * nv);
+    f.resize(nf);
+    std::memcpy(f.data(), f_in, sizeof(int32_t) * 3 * nf);
+    V3 hi = v[0];
+    lo = v[0];
+    for (const V3& p : v)
+      for (int k = 0; k < 3; ++k) {
+        lo[k] = std::min(lo[k], p[k]);
+        hi[k] = std::max(hi[k], p[k]);
+      }
+    double diag = norm(sub(hi, lo));
+    // cell >= 2*maxd keeps threshold queries to <= 2 cells per axis;
+    // cap the grid at 96^3 for degenerate maxd values.
+    cell = std::max(2.0 * maxd, diag / 96.0);
+    nx = std::max(1, (int)((hi[0] - lo[0]) / cell) + 1);
+    ny = std::max(1, (int)((hi[1] - lo[1]) / cell) + 1);
+    nz = std::max(1, (int)((hi[2] - lo[2]) / cell) + 1);
+    bins.assign((size_t)nx * ny * nz, {});
+    for (int32_t fi = 0; fi < (int32_t)f.size(); ++fi) {
+      V3 a = v[f[fi][0]], b = v[f[fi][1]], c = v[f[fi][2]];
+      int cl[3], ch[3];
+      for (int k = 0; k < 3; ++k) {
+        double mn = std::min({a[k], b[k], c[k]});
+        double mx = std::max({a[k], b[k], c[k]});
+        cl[k] = clampi((int)((mn - lo[k]) / cell), k);
+        ch[k] = clampi((int)((mx - lo[k]) / cell), k);
+      }
+      for (int x = cl[0]; x <= ch[0]; ++x)
+        for (int y = cl[1]; y <= ch[1]; ++y)
+          for (int z = cl[2]; z <= ch[2]; ++z)
+            bins[((size_t)x * ny + y) * nz + z].push_back(fi);
+    }
+  }
+
+  int clampi(int i, int axis) const {
+    int n = axis == 0 ? nx : (axis == 1 ? ny : nz);
+    return std::max(0, std::min(n - 1, i));
+  }
+
+  // true iff dist(p, surface) <= maxd (or the guard is disabled)
+  bool within(const V3& p, double maxd) const {
+    if (!enabled) return true;
+    double m2 = maxd * maxd;
+    int cl[3], ch[3];
+    for (int k = 0; k < 3; ++k) {
+      cl[k] = clampi((int)((p[k] - maxd - lo[k]) / cell), k);
+      ch[k] = clampi((int)((p[k] + maxd - lo[k]) / cell), k);
+    }
+    for (int x = cl[0]; x <= ch[0]; ++x)
+      for (int y = cl[1]; y <= ch[1]; ++y)
+        for (int z = cl[2]; z <= ch[2]; ++z)
+          for (int32_t fi : bins[((size_t)x * ny + y) * nz + z])
+            if (point_tri_dist2(p, v[f[fi][0]], v[f[fi][1]], v[f[fi][2]])
+                <= m2)
+              return true;
+    return false;
+  }
+};
+
 // ---- split ---------------------------------------------------------------
 
 void split_long_edges(Mesh& m, double lmax) {
@@ -161,7 +280,8 @@ void split_long_edges(Mesh& m, double lmax) {
 
 // ---- collapse ------------------------------------------------------------
 
-void collapse_short_edges(Mesh& m, double lmin, double lmax) {
+void collapse_short_edges(Mesh& m, double lmin, double lmax,
+                          const SurfaceGrid& grid, double maxd) {
   std::vector<std::pair<int32_t, int32_t>> work;
   {
     std::unordered_set<uint64_t> seen;
@@ -199,8 +319,32 @@ void collapse_short_edges(Mesh& m, double lmin, double lmax) {
     }
     if (bad || inter != 2) continue;
     V3 mid = mul(add(pa, pb), 0.5);
+    // CheckSurfDist: the collapsed vertex must stay near the original
+    // surface (meshlabserver MaxSurfDist, optim.py MLX script)
+    if (!grid.within(mid, maxd)) continue;
     // no new over-long edges
     bool toolong = false;
+    // CheckSurfDist on the re-formed ring: each surviving face around a/b
+    // gets a corner moved to mid — its new centroid (and the midpoints of
+    // its edges to mid) must stay near the original surface, otherwise a
+    // rim collapse can bridge a concavity while its midpoint sits on the
+    // surface (the interior of the new faces is what deviates).
+    if (grid.enabled) {
+      bool dev = false;
+      for (int side = 0; side < 2 && !dev; ++side) {
+        int32_t w = side == 0 ? a : b;
+        for (int32_t fi : m.vfaces[w]) {
+          if (fi == fs[0] || fi == fs[1]) continue;
+          const Tri& t = m.f[fi];
+          V3 q[3];
+          for (int c2 = 0; c2 < 3; ++c2)
+            q[c2] = (t[c2] == a || t[c2] == b) ? mid : m.v[t[c2]];
+          V3 cen = mul(add(add(q[0], q[1]), q[2]), 1.0 / 3.0);
+          if (!grid.within(cen, maxd)) { dev = true; break; }
+        }
+      }
+      if (dev) continue;
+    }
     for (int32_t x : na)
       if (x != b && norm(sub(m.v[x], mid)) > lmax) { toolong = true; break; }
     if (!toolong)
@@ -255,7 +399,7 @@ void collapse_short_edges(Mesh& m, double lmin, double lmax) {
 
 // ---- flip ----------------------------------------------------------------
 
-void flip_edges(Mesh& m) {
+void flip_edges(Mesh& m, const SurfaceGrid& grid, double maxd) {
   std::vector<int32_t> valence(m.v.size(), 0);
   {
     std::unordered_set<uint64_t> seen;
@@ -307,6 +451,15 @@ void flip_edges(Mesh& m) {
     // degenerate new triangles guard
     if (norm(n1) < 1e-14 || norm(n2) < 1e-14) continue;
     if (dot(n1, n_old) <= 0 || dot(n2, n_old) <= 0) continue;
+    // CheckSurfDist: the new edge's midpoint and both new face centroids
+    // must stay near the original surface (a flip across a ridge bridges
+    // concavities otherwise)
+    if (!grid.within(mul(add(pc, pd), 0.5), maxd)) continue;
+    if (grid.enabled) {
+      V3 cen1 = mul(add(add(pa, pd), pc), 1.0 / 3.0);
+      V3 cen2 = mul(add(add(pb, pc), pd), 1.0 / 3.0);
+      if (!grid.within(cen1, maxd) || !grid.within(cen2, maxd)) continue;
+    }
     Tri t1 = m.f[fs[0]];
     int ia = (t1[0] == a) ? 0 : (t1[1] == a ? 1 : 2);
     bool ab = t1[(ia + 1) % 3] == b;
@@ -363,12 +516,18 @@ void tangential_smooth(Mesh& m, double lam) {
 extern "C" {
 
 // One Botsch-Kobbelt iteration (split -> collapse -> flip -> smooth).
-// In:  v_in [nv*3] double, f_in [nf*3] int32, target_len, smooth_lambda.
+// In:  v_in [nv*3] double, f_in [nf*3] int32, target_len, smooth_lambda;
+//      orig_v/orig_f: the ORIGINAL surface for the CheckSurfDist guard
+//      (meshlabserver MaxSurfDist semantics) — pass max_surf_dist <= 0 to
+//      disable the guard.
 // Out: v_out (capacity cap_v*3), f_out (capacity cap_f*3).
 // Returns 0 on success and writes *nv_out/*nf_out; returns -1 if capacity
 // is insufficient (caller should retry with more).
 int remesh_iteration(const double* v_in, int64_t nv, const int32_t* f_in,
                      int64_t nf, double target_len, double smooth_lambda,
+                     const double* orig_v, int64_t orig_nv,
+                     const int32_t* orig_f, int64_t orig_nf,
+                     double max_surf_dist,
                      double* v_out, int64_t cap_v, int64_t* nv_out,
                      int32_t* f_out, int64_t cap_f, int64_t* nf_out) {
   Mesh m;
@@ -379,11 +538,14 @@ int remesh_iteration(const double* v_in, int64_t nv, const int32_t* f_in,
   m.face_alive.assign(nf, 1);
   m.build_incidence();
 
+  SurfaceGrid grid;
+  grid.build(orig_v, orig_nv, orig_f, orig_nf, max_surf_dist);
+
   const double lmax = 4.0 / 3.0 * target_len;
   const double lmin = 4.0 / 5.0 * target_len;
   split_long_edges(m, lmax);
-  collapse_short_edges(m, lmin, lmax);
-  flip_edges(m);
+  collapse_short_edges(m, lmin, lmax, grid, max_surf_dist);
+  flip_edges(m, grid, max_surf_dist);
   tangential_smooth(m, smooth_lambda);
 
   // compact
