@@ -63,17 +63,55 @@ def shard_views(mesh: Mesh, views: ViewBatch) -> ViewBatch:
     )
 
 
+def shard_mapped_intersect(intersect_fn: Callable, mesh: Mesh) -> Callable:
+    """Wrap a hit-oracle backend in shard_map over the 'rays' axis.
+
+    GSPMD partitions the jnp backends (brute/culled) automatically, but
+    Mosaic (Pallas) kernels cannot be auto-partitioned — the TPU kernel
+    must be explicitly shard_mapped. The oracle is per-ray independent
+    (no cross-ray communication), so: rays sharded, mesh replicated,
+    outputs sharded, no collectives inside.
+
+    The ray count must divide the mesh size; callers pad ray batches to
+    lane multiples already (full Pointgray/Redmi views divide any 2^k
+    mesh).
+    """
+    from drt_tpu.intersect.api import Hits
+
+    def sharded(origins, dirs, vertices, faces, face_valid=None):
+        if face_valid is None:
+            face_valid = jnp.ones((faces.shape[0],), jnp.bool_)
+
+        def local(o, d, v, f, fv):
+            return intersect_fn(o, d, v, f, fv)
+
+        fn = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("rays"), P("rays"), P(), P(), P()),
+            out_specs=Hits(t=P("rays"), tri_id=P("rays")),
+            check_vma=False)
+        return fn(origins, dirs, vertices, faces, face_valid)
+
+    return sharded
+
+
 def make_sharded_train_step(make_step_kwargs: dict, mesh: Mesh,
-                            mesh_state, views: ViewBatch):
+                            mesh_state, views: ViewBatch,
+                            wrap_intersect: bool = True):
     """Build a train step whose data lives sharded on `mesh`: the ViewBatch
     ray arrays are placed with the ray sharding, the mesh state replicated.
     Returns (step_fn, mesh_state_placed, views_placed). The step itself is
     the ordinary jitted step from optimize.make_train_step — GSPMD partitions
     it according to the input placements and inserts the vertex-gradient
-    all-reduce."""
+    all-reduce. The hit oracle is shard_mapped over the ray axis (required
+    for the Pallas backend, explicit-layout for the jnp ones)."""
     from drt_tpu.optimize.loop import make_train_step
 
-    step = make_train_step(**make_step_kwargs)
+    kwargs = dict(make_step_kwargs)
+    if wrap_intersect and "intersect_fn" in kwargs:
+        kwargs["intersect_fn"] = shard_mapped_intersect(
+            kwargs["intersect_fn"], mesh)
+    step = make_train_step(**kwargs)
     views_placed = shard_views(mesh, views)
     mesh_state_placed = replicate(mesh, mesh_state)
     return step, mesh_state_placed, views_placed

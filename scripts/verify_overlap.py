@@ -51,9 +51,15 @@ def main():
     n_rays = 1228800                      # full Pointgray view
     ior, ext_ior = 1.4723, 1.00029
 
+    from drt_tpu.parallel.sharding import shard_mapped_intersect
+
     results = {}
     for backend in ("pallas", "brute"):
-        intersect_fn = get_intersect_fn(backend)
+        # Mosaic kernels cannot be auto-partitioned by GSPMD: the Pallas
+        # oracle must be shard_mapped over the ray axis (the jnp backends
+        # work either way; wrapping makes the layout explicit).
+        intersect_fn = shard_mapped_intersect(get_intersect_fn(backend),
+                                              mesh)
 
         def loss_fn(vertices, origin, ray_dir, screen_point):
             m = ms.with_vertices(vertices)
@@ -78,33 +84,44 @@ def main():
             jax.ShapeDtypeStruct((3,), jnp.float32, sharding=rep),
         )
         try:
-            compiled = grad_fn.lower(*args).compile()
+            compiled = grad_fn.lower(*args).compile(
+                compiler_options={
+                    # ask for async collectives + the latency-hiding
+                    # scheduler so the V x 3 grad all-reduce can overlap
+                    # the tail of the backward pass
+                    "xla_tpu_enable_latency_hiding_scheduler": "true",
+                })
             hlo = compiled.as_text()
         except Exception as e:
             results[backend] = {"error": repr(e)}
             print(f"{backend}: AOT compile failed: {e!r}")
             continue
 
-        starts = re.findall(r"all-reduce-start", hlo)
-        dones = re.findall(r"all-reduce-done", hlo)
-        sync = re.findall(r"= all-reduce\(", hlo)
+        with open(f"reports/overlap_hlo_{backend}.txt", "w") as fh:
+            fh.write(hlo)
+
+        # HLO prints ops as `%name = type op-name(...)`; match by the
+        # instruction name on the left (all-reduce lowers to named ops
+        # like %all-reduce-start.3) and the op after the type.
+        starts = re.findall(r"%(all-reduce-start[\w.\-]*) = ", hlo)
+        sync = re.findall(r"= \S+ all-reduce\(", hlo)
 
         # overlap: count scheduled ops between each start and its done in
-        # the entry computation's instruction order
-        entry = hlo
-        lines = [ln.strip() for ln in entry.splitlines()
-                 if re.match(r"\s*%?\S+ = ", ln)]
+        # instruction order (the text is already scheduled post-LHS)
+        lines = [ln.strip() for ln in hlo.splitlines()
+                 if re.match(r"\s*%?[\w.\-]+ = ", ln)]
         gaps = []
         open_at = {}
         for idx, ln in enumerate(lines):
-            if "all-reduce-start" in ln:
-                m = re.match(r"%?(\S+?) = ", ln)
-                open_at[m.group(1)] = idx
-            elif "all-reduce-done" in ln:
-                for name, at in list(open_at.items()):
-                    if name in ln:
+            m = re.match(r"%?([\w.\-]+) = ", ln)
+            name = m.group(1) if m else ""
+            if "all-reduce-start" in name:
+                open_at[name] = idx
+            elif "all-reduce-done" in ln and open_at:
+                for oname, at in list(open_at.items()):
+                    if oname in ln:
                         gaps.append(idx - at - 1)
-                        del open_at[name]
+                        del open_at[oname]
         results[backend] = {
             "async_pairs": len(starts),
             "sync_all_reduces": len(sync),

@@ -61,6 +61,51 @@ def test_sharded_matches_single(setup):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_shard_mapped_intersect_matches_direct(setup):
+    """The shard_map-wrapped oracle (required for the Pallas backend,
+    which GSPMD cannot auto-partition) must bit-match the direct call."""
+    from drt_tpu.parallel.sharding import shard_mapped_intersect
+
+    cap, ms, _ = setup
+    mesh = make_ray_mesh(jax.devices()[:8])
+    o = cap.views.origin
+    o = jnp.broadcast_to(o[0], cap.views.ray_dir[0].shape)
+    d = cap.views.ray_dir[0]
+
+    for backend in ("brute", "culled"):
+        fn = get_intersect_fn(backend)
+        hits = fn(o, d, ms.vertices, ms.faces, ms.face_valid)
+        hits_s = shard_mapped_intersect(fn, mesh)(
+            o, d, ms.vertices, ms.faces, ms.face_valid)
+        np.testing.assert_array_equal(np.asarray(hits.tri_id),
+                                      np.asarray(hits_s.tri_id))
+        np.testing.assert_allclose(np.asarray(hits.t),
+                                   np.asarray(hits_s.t), rtol=1e-6)
+
+
+def test_sharded_step_with_shard_mapped_oracle(setup):
+    """Full sharded train step built through make_sharded_train_step (which
+    shard_maps the oracle) matches the plain single-device step."""
+    from drt_tpu.parallel.sharding import make_sharded_train_step
+
+    cap, ms, step = setup
+    p1, _, loss1, _ = _run(step, ms, cap.views)
+
+    hp = HyperParams()
+    weights = LossWeights(ray_w=hp.ray_w, vh_w=hp.vh_w, sm_w=hp.sm_w,
+                          ior=1.5, ext_ior=hp.ext_ior)
+    mesh = make_ray_mesh(jax.devices()[:8])
+    (init_state, step_s, _final), ms_s, views_s = make_sharded_train_step(
+        dict(intersect_fn=get_intersect_fn("brute"), weights=weights,
+             resy=16, resx=16, silhouette_budget=128,
+             momentum=hp.momentum),
+        mesh, ms, cap.views)
+    p2, _, loss2, _ = _run((init_state, step_s), ms_s, views_s)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_ray_arrays_actually_sharded(setup):
     cap, _, _ = setup
     mesh = make_ray_mesh(jax.devices()[:8])
