@@ -8,8 +8,11 @@ first-class parallelism component. Design (BASELINE.json north star):
 - the mesh (vertices/faces/topology) is small and REPLICATED on every chip;
 - the only cross-chip communication is the all-reduce of the V×3 vertex
   gradient, which XLA inserts automatically when differentiating a
-  replicated-parameter / sharded-data computation, and overlaps with the
-  backward pass via its latency-hiding scheduler.
+  replicated-parameter / sharded-data computation. AOT inspection of the
+  scheduled HLO (scripts/verify_overlap.py) confirms exactly ONE
+  all-reduce per step; whether it is scheduled async (overlapping the
+  backward tail) is up to the TPU latency-hiding scheduler on a real
+  slice — see BASELINE.md "Gradient all-reduce overlap".
 
 Implementation uses jit + NamedSharding (GSPMD) rather than hand-written
 collectives: the sharding of every intermediate follows from the ray-axis
