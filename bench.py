@@ -125,6 +125,19 @@ def bench_config(name, ply_path, resy, resx, iters, backend="auto"):
         o, d, vert, ms.faces, ms.face_valid).t)
     dt_oracle = time_it(oracle, origin, ray_dir, ms.vertices)
 
+    # Exactness vs the brute all-pairs oracle on a ray subsample. This runs
+    # on the real chip, where matmul-precision bugs actually manifest (CPU
+    # tests compute f32 matmuls exactly and cannot catch them — the round-2
+    # bf16-MXU false-miss bug was invisible to the whole CPU suite).
+    stride = max(1, n_rays // 4096)
+    o_s, d_s = origin[::stride], ray_dir[::stride]
+    t_fast = intersect_fn(o_s, d_s, ms.vertices, ms.faces, ms.face_valid).t
+    t_ref = get_intersect_fn("brute")(o_s, d_s, ms.vertices, ms.faces,
+                                      ms.face_valid).t
+    hit_f = np.isfinite(np.asarray(t_fast))
+    hit_r = np.isfinite(np.asarray(t_ref))
+    n_mismatch = int((hit_f != hit_r).sum())
+
     # full fwd+bwd step
     step = jax.jit(jax.grad(loss_fn))
     lowered = step.lower(ms.vertices)
@@ -141,6 +154,8 @@ def bench_config(name, ply_path, resy, resx, iters, backend="auto"):
         "rays_per_s_step": round(n_rays / dt_step),
         "oracle_ms": round(dt_oracle * 1e3, 2),
         "rays_per_s_oracle": round(n_rays / dt_oracle),
+        "oracle_hit_mismatch_vs_brute": n_mismatch,
+        "oracle_exact_sample": int(hit_f.size),
         "step_gflops": round(flops / 1e9, 2),
         "achieved_tflops": round(flops / dt_step / 1e12, 3),
         "achieved_gbps": round(nbytes / dt_step / 1e9, 1),

@@ -37,7 +37,7 @@ class HyperParams:
 
     # --- TPU-framework-specific knobs (no reference equivalent) ---
     optimizer: str = "sgd"       # sgd (reference parity) | adam | uadam
-    precond: str = "none"        # none (reference parity) | sobolev —
+    precond: str = "none"        # none (reference parity) | sobolev | h1 —
                                  # Laplacian-preconditioned vertex updates
                                  # (optimize/precondition.py)
     precond_lambda: float = 29.0  # Sobolev weight (I + lam*L)

@@ -50,8 +50,12 @@ def carve_occupancy(masks: np.ndarray, R: np.ndarray, K: np.ndarray,
     @jax.jit
     def one_view(field, mask, Rv, Kv):
         ones = jnp.ones((pts.shape[0], 1), jnp.float32)
-        cam = jnp.concatenate([pts, ones], axis=1) @ Rv.T       # [P,4]
-        pix = cam[:, :3] @ Kv.T
+        # full-precision projection (bf16 MXU default is off by pixels at
+        # these magnitudes — see render/camera.py)
+        hi = jax.lax.Precision.HIGHEST
+        cam = jnp.matmul(jnp.concatenate([pts, ones], axis=1), Rv.T,
+                         precision=hi)                          # [P,4]
+        pix = jnp.matmul(cam[:, :3], Kv.T, precision=hi)
         z = pix[:, 2]
         x = pix[:, 0] / jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
         y = pix[:, 1] / jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)

@@ -156,8 +156,15 @@ def intersect_culled(origins, dirs, vertices, faces, face_valid=None, *,
             idx = jax.lax.dynamic_slice(order, (wave * K,), (K,))
             cand_ok = jnp.isfinite(score[idx])             # [K]
             M = coef_c[idx].reshape(K * tri_chunk, 10, 4)
+            # precision=HIGHEST is load-bearing: TPU f32 matmuls default to
+            # one-pass bf16 on the MXU, whose input rounding (~2^-8 relative,
+            # absolute ~1.5 units at camera-distance coefficient magnitudes)
+            # exceeds u*det/v*det signal size for small triangles and
+            # misclassifies whole triangles as misses (silhouette "holes" on
+            # >100k-face meshes at capture resolution).
             vals = jnp.einsum("rp,tpc->rtc", phi, M,
-                              preferred_element_type=jnp.float32)  # [R,KC,4]
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)  # [R,KC,4]
             det, ud, vd, td = (vals[..., i] for i in range(4))
             s = jnp.sign(det)
             absdet = jnp.abs(det)

@@ -91,10 +91,14 @@ def _kernel(count_ref, lo_ref, hi_ref, cand_ref, o3_ref, inv3_ref, phiT_ref,
 
         @pl.when(jnp.any(overlap))
         def _():
+            # HIGHEST: one-pass bf16 MXU rounding misclassifies small
+            # triangles (see intersect/culled.py) — force the multi-pass
+            # f32 algorithm.
             vals = jax.lax.dot_general(
                 coef_ref[c], phiT,
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [4C, RT]
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)         # [4C, RT]
             det = vals[0 * tri_chunk:1 * tri_chunk, :]
             ud = vals[1 * tri_chunk:2 * tri_chunk, :]
             vd = vals[2 * tri_chunk:3 * tri_chunk, :]
@@ -182,7 +186,8 @@ def _kernel_stream(count_ref, lo_ref, hi_ref, cand_ref, o3_ref, inv3_ref,
             vals = jax.lax.dot_general(
                 coef_buf[slot], phiT,
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
             det = vals[0 * tri_chunk:1 * tri_chunk, :]
             ud = vals[1 * tri_chunk:2 * tri_chunk, :]
             vd = vals[2 * tri_chunk:3 * tri_chunk, :]

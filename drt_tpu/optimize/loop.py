@@ -57,7 +57,13 @@ def make_train_step(intersect_fn: Callable, weights: LossWeights,
       Nicolet et al. 2021 that avoids per-coordinate step distortion.
     precond: 'none' — optimize a per-vertex displacement p, vertices =
       init + p (reference parity); 'sobolev' — optimize u with vertices =
-      (I + lam L)^{-1} u (see optimize/precondition.py).
+      (I + lam L)^{-1} u (see optimize/precondition.py); 'h1' — evidence-
+      equalized H1 gradient flow: the ray-loss gradient is divided by each
+      vertex's ray-evidence count (replacing the reference's saturating +-1
+      clamp with a principled diagonal preconditioner — per-vertex gradient
+      magnitudes span ~3 orders of magnitude with sparse refraction
+      evidence), combined with the regularizer gradient, then smoothed by
+      (I + lam L)^{-1} so low-frequency shape modes move at full scale.
 
     The reference's +-1 clamp (grad_clamp) is only applied in the parity
     configuration (sgd + none); under the Sobolev reparameterization the
@@ -65,6 +71,9 @@ def make_train_step(intersect_fn: Callable, weights: LossWeights,
     exactly the saturation pathology the preconditioner removes.
     """
     from drt_tpu.optimize.precondition import sobolev_apply, sobolev_solve
+
+    if precond == "h1" and not weights.ray_w:
+        raise ValueError("precond='h1' requires a nonzero ray_w")
 
     clamp = grad_clamp if (optimizer == "sgd" and precond == "none") else 0.0
 
@@ -83,19 +92,58 @@ def make_train_step(intersect_fn: Callable, weights: LossWeights,
 
     @jax.jit
     def step(state, lr, mesh: MeshState, views, ray_view_idx, silh_view_idx):
-        def loss_fn(p):
-            if precond == "sobolev":
-                vert = sobolev_solve(p, mesh.neighbors, mesh.neighbor_valid,
-                                     precond_lambda, maxiter=cg_iters)
-            else:
-                vert = state["init_v"] + p
-            m = mesh.with_vertices(vert)
-            return total_loss(m, views, ray_view_idx, silh_view_idx,
-                              intersect_fn, weights, resy, resx,
-                              silhouette_budget)
+        if precond == "h1":
+            # Split gradients: ray term (evidence-preconditioned) vs the
+            # regularizers (vh + sm). Two vjps; the reg one is cheap.
+            w_ray = weights._replace(vh_w=0.0, sm_w=0.0)
+            w_reg = weights._replace(ray_w=0.0)
 
-        (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["params"])
+            def ray_fn(p):
+                m = mesh.with_vertices(state["init_v"] + p)
+                return total_loss(m, views, ray_view_idx, silh_view_idx,
+                                  intersect_fn, w_ray, resy, resx,
+                                  silhouette_budget, collect_evidence=True)
+
+            def reg_fn(p):
+                m = mesh.with_vertices(state["init_v"] + p)
+                return total_loss(m, views, ray_view_idx, silh_view_idx,
+                                  intersect_fn, w_reg, resy, resx,
+                                  silhouette_budget)
+
+            (l_ray, aux), g_ray = jax.value_and_grad(ray_fn, has_aux=True)(
+                state["params"])
+            (l_reg, aux_reg), g_reg = jax.value_and_grad(reg_fn,
+                                                         has_aux=True)(
+                state["params"])
+            ev = aux.pop("vertex_evidence")
+            aux.update({k: v for k, v in aux_reg.items() if k in ("vh", "sm",
+                                                                  "silh_edge_max")})
+            # Equalize: vertices with little refraction evidence get the
+            # same step scale as high-evidence ones; c_bar keeps the global
+            # ray/regularizer balance of the reference's weighted sum.
+            c_bar = jnp.sum(ev) / jnp.maximum(1.0, jnp.sum(ev > 0))
+            scale = c_bar / (ev + 0.25 * c_bar)
+            g = g_ray * scale[:, None] + g_reg
+            # H1 smoothing: descent direction in the Sobolev metric.
+            g = sobolev_solve(g, mesh.neighbors, mesh.neighbor_valid,
+                              precond_lambda, maxiter=cg_iters)
+            loss = l_ray + l_reg
+            aux["evidence_mean"] = c_bar
+        else:
+            def loss_fn(p):
+                if precond == "sobolev":
+                    vert = sobolev_solve(p, mesh.neighbors,
+                                         mesh.neighbor_valid,
+                                         precond_lambda, maxiter=cg_iters)
+                else:
+                    vert = state["init_v"] + p
+                m = mesh.with_vertices(vert)
+                return total_loss(m, views, ray_view_idx, silh_view_idx,
+                                  intersect_fn, weights, resy, resx,
+                                  silhouette_budget)
+
+            (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["params"])
         g = limit_grad(g, clamp)
         aux["max_grad"] = jnp.max(jnp.abs(g))
 

@@ -38,8 +38,13 @@ class LossWeights(NamedTuple):
 
 
 def ray_loss(mesh, view, intersect_fn: Callable, ior: float,
-             ext_ior: float) -> jnp.ndarray:
-    """One-view refraction loss (reference optim.py:91-108)."""
+             ext_ior: float, collect_evidence: bool = False) -> jnp.ndarray:
+    """One-view refraction loss (reference optim.py:91-108).
+
+    collect_evidence=True also returns, in the stats dict under
+    "vertex_evidence", the per-vertex count of contributing rays (each
+    valid ray votes for the 3 vertices of both refraction triangles) —
+    the diagonal preconditioner of the 'h1' optimizer mode."""
     screen_pixel, valid, _mask, origin, ray_dir, _cam = view
     res = render_transparent(origin, ray_dir, mesh, intersect_fn, ior, ext_ior)
     # Target direction: from the (detached) exit origin to the matted screen
@@ -47,8 +52,17 @@ def ray_loss(mesh, view, intersect_fn: Callable, ior: float,
     target = screen_pixel - jax.lax.stop_gradient(res.origin)
     target = safe_normalize(target)
     diff = res.direction - target
-    m = (valid & res.valid)[:, None]
-    return jnp.sum(jnp.where(m, diff * diff, 0.0)), res.stats
+    w = valid & res.valid
+    m = w[:, None]
+    stats = dict(res.stats)
+    if collect_evidence:
+        ev = jnp.zeros(mesh.vertices.shape[:1], jnp.float32)
+        wf = w.astype(jnp.float32)[:, None]
+        for tri in res.tris:
+            ev = ev.at[mesh.faces[tri]].add(
+                jnp.broadcast_to(wf, (tri.shape[0], 3)))
+        stats["vertex_evidence"] = ev
+    return jnp.sum(jnp.where(m, diff * diff, 0.0)), stats
 
 
 def silhouette_loss(mesh, view, intersect_fn: Callable, budget: int,
@@ -94,7 +108,7 @@ def smooth_loss(mesh) -> jnp.ndarray:
 
 def total_loss(mesh, views, ray_view_idx, silh_view_idx, intersect_fn,
                weights: LossWeights, resy: int, resx: int,
-               silhouette_budget: int):
+               silhouette_budget: int, collect_evidence: bool = False):
     """Weighted sum (reference all_loss, optim.py:110-130). silh_view_idx is
     a static-length [S] array of view indices (the reference uses 8).
     ray_view_idx may be a scalar (reference parity: 1 refraction view per
@@ -106,11 +120,14 @@ def total_loss(mesh, views, ray_view_idx, silh_view_idx, intersect_fn,
 
         def one_ray(idx):
             return ray_loss(mesh, views.take(idx), intersect_fn,
-                            weights.ior, weights.ext_ior)
+                            weights.ior, weights.ext_ior,
+                            collect_evidence=collect_evidence)
 
         rls, stats = jax.lax.map(one_ray, ray_view_idx)
         rl = jnp.mean(rls)
-        trace_stats = {k: jnp.sum(v) for k, v in stats.items()}
+        # counters sum to scalars; the [R,V] evidence stack sums per vertex
+        trace_stats = {k: jnp.sum(v, axis=0) if k == "vertex_evidence"
+                       else jnp.sum(v) for k, v in stats.items()}
     else:
         rl, trace_stats = 0.0, {}
 

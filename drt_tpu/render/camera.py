@@ -11,9 +11,20 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from drt_tpu.geometry.vec import safe_normalize
+
+# TPU f32 matmuls default to one-pass bf16 on the MXU; at pixel-coordinate
+# magnitudes (~10^3) that rounds projections by multiple pixels. All camera
+# matmuls force the full-precision algorithm (they are tiny [N,3]@[3,3] ops;
+# the cost is nil, the silhouette loss depends on sub-pixel alignment).
+_PMAT = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_PMAT)
 
 
 class CameraM(NamedTuple):
@@ -38,8 +49,8 @@ def generate_rays(resy: int, resx: int, camera: CameraM):
     py, px = jnp.meshgrid(ys, xs, indexing="ij")
     pz = jnp.ones_like(py)
     pixel = jnp.stack([px, py, pz], axis=2).reshape(-1, 3)    # [N,3]
-    cam_p = pixel @ K_inv.T                                    # [N,3]
-    world_p = cam_p @ R_inv[:3, :3].T + R_inv[:3, 3]
+    cam_p = _mm(pixel, K_inv.T)                                # [N,3]
+    world_p = _mm(cam_p, R_inv[:3, :3].T) + R_inv[:3, 3]
     origin = R_inv[:3, 3]
     ray_dir = safe_normalize(world_p - origin)
     return jnp.broadcast_to(origin, ray_dir.shape), ray_dir
@@ -53,12 +64,10 @@ def project_vertices(camera: CameraM, V: jnp.ndarray,
     (DiffRender.py:466-474) and project_vert (DiffRender.py:481-490).
     detach_depth stops gradient through the camera-space depth, as the
     reference does for the silhouette loss (DiffRender.py:471)."""
-    import jax
-
     ones = jnp.ones((*V.shape[:-1], 1), dtype=V.dtype)
     v_h = jnp.concatenate([V, ones], axis=-1)                  # [N,4]
-    v_cam = v_h @ camera.R.T                                    # [N,4]
+    v_cam = _mm(v_h, camera.R.T)                                # [N,4]
     if detach_depth:
         v_cam = v_cam.at[..., 2].set(jax.lax.stop_gradient(v_cam[..., 2]))
-    v_pix = v_cam[..., :3] @ camera.K.T                         # [N,3]
+    v_pix = _mm(v_cam[..., :3], camera.K.T)                     # [N,3]
     return v_pix[..., :2] / v_pix[..., 2:3]

@@ -76,8 +76,13 @@ def _edge_sample_fwd_math(E_pos, camera: CameraM, cam_origin, intersect_fn,
     # Back-project offset pixels to world rays (reference DiffRender.py:216-224;
     # directions intentionally un-normalized, hit test is t>0 invariant).
     ones = jnp.ones((f_point.shape[0], 1), dtype=f_point.dtype)
-    cam_p = jnp.concatenate([f_point, ones], axis=1) @ camera.K_inv.T
-    world_p = (jnp.concatenate([cam_p, ones], axis=1) @ camera.R_inv.T)[:, :3]
+    # full-precision matmuls: bf16 MXU default rounds pixel-magnitude
+    # coordinates by whole pixels (see render/camera.py)
+    _mm = lambda a, b: jnp.matmul(a, b,
+                                  precision=jax.lax.Precision.HIGHEST)
+    cam_p = _mm(jnp.concatenate([f_point, ones], axis=1), camera.K_inv.T)
+    world_p = _mm(jnp.concatenate([cam_p, ones], axis=1),
+                  camera.R_inv.T)[:, :3]
     ray_dir = world_p - cam_origin[None, :]
     ray_org = jnp.broadcast_to(cam_origin, ray_dir.shape)
 

@@ -28,6 +28,8 @@ class TraceResult(NamedTuple):
     direction: jnp.ndarray  # [N,3] exit-ray direction (zeros where invalid)
     valid: jnp.ndarray      # [N] bool — refracted twice AND escaped the mesh
     stats: dict             # diagnostic counters (see trace2)
+    tris: list = []         # [tri_b1, tri_b2] hit face ids (0 on dead lanes)
+                            # — feeds per-vertex ray-evidence counts
 
 
 def refract_ray(origin, direction, t, n, int_ior, ext_ior,
@@ -92,7 +94,8 @@ def _bounce(origin, direction, active, mesh, intersect_fn, int_ior, ext_ior,
         origin, direction, t, n, int_ior, ext_ior, offset_eps, compat=compat)
     active = active & hit & refracted
     m = active[..., None]
-    return jnp.where(m, new_o, origin), jnp.where(m, new_d, direction), active
+    return (jnp.where(m, new_o, origin), jnp.where(m, new_d, direction),
+            active, jnp.where(active, safe_id, 0))
 
 
 def trace2(origin, direction, mesh, intersect_fn: Callable,
@@ -105,14 +108,17 @@ def trace2(origin, direction, mesh, intersect_fn: Callable,
     active = jnp.ones(origin.shape[:-1], dtype=bool)
     o, d = origin, direction
     stats = {}
+    tris = []
     for b in range(2):
         prev = jnp.sum(active)
-        o, d, active = _bounce(o, d, active, mesh, intersect_fn,
-                               int_ior, ext_ior, offset_eps, compat=compat)
+        o, d, active, tri = _bounce(o, d, active, mesh, intersect_fn,
+                                    int_ior, ext_ior, offset_eps,
+                                    compat=compat)
+        tris.append(tri)
         # survivors after this bounce; the drop is miss+TIR lanes
         stats[f"active_after_bounce{b + 1}"] = jnp.sum(active)
         stats[f"dropped_bounce{b + 1}"] = prev - jnp.sum(active)
-    return o, d, active, stats
+    return o, d, active, stats, tris
 
 
 def render_transparent(origin, direction, mesh, intersect_fn: Callable,
@@ -123,15 +129,16 @@ def render_transparent(origin, direction, mesh, intersect_fn: Callable,
     mesh) — the reference's third occlusion query (DiffRender.py:420-432).
     Dense per-pixel output; invalid lanes are zeroed like the reference's
     scatter into zeros."""
-    o, d, active, stats = trace2(origin, direction, mesh, intersect_fn,
-                                 int_ior, ext_ior, offset_eps, compat=compat)
+    o, d, active, stats, tris = trace2(origin, direction, mesh, intersect_fn,
+                                       int_ior, ext_ior, offset_eps,
+                                       compat=compat)
     hits = intersect_fn(o, d, mesh.vertices, mesh.faces, mesh.face_valid)
     valid = active & jnp.logical_not(hits.hit)
     stats["occluded_exit"] = jnp.sum(active & hits.hit)
     stats["valid_rays"] = jnp.sum(valid)
     m = valid[..., None]
     return TraceResult(jnp.where(m, o, 0.0), jnp.where(m, d, 0.0), valid,
-                       stats)
+                       stats, tris)
 
 
 def render_mask(origin, direction, mesh, intersect_fn: Callable) -> jnp.ndarray:

@@ -13,7 +13,7 @@ fn = get_intersect_fn('auto')
 @jax.jit
 def funnel(o, d):
     hits = fn(o, d, ms.vertices, ms.faces, ms.face_valid)
-    o2, d2, active, stats = trace2(o, d, ms, fn, 1.4723, 1.00029)
+    o2, d2, active, stats, _tris = trace2(o, d, ms, fn, 1.4723, 1.00029)
     res = render_transparent(o, d, ms, fn, 1.4723, 1.00029)
     vr = res.stats['valid_rays']
     return (jnp.sum(hits.hit), stats['active_after_bounce1'],
