@@ -65,8 +65,12 @@ def make_train_step(intersect_fn: Callable, weights: LossWeights,
       evidence), combined with the regularizer gradient, then smoothed by
       (I + lam L)^{-1} so low-frequency shape modes move at full scale.
 
-    The reference's +-1 clamp (grad_clamp) is only applied in the parity
-    configuration (sgd + none); under the Sobolev reparameterization the
+    The reference's +-1 clamp (grad_clamp) is applied in the parity
+    configuration (sgd + none) and — after equalization and smoothing — in
+    'h1': there it acts as a pure trust region on an already well-scaled
+    direction (without it, momentum compounds residual spikes on coarse
+    meshes into a blow-up), not as the saturating per-component distorter
+    it is on raw gradients. Under the Sobolev reparameterization the
     u-space gradient scale is different and clamping would re-introduce
     exactly the saturation pathology the preconditioner removes.
     """
@@ -75,7 +79,8 @@ def make_train_step(intersect_fn: Callable, weights: LossWeights,
     if precond == "h1" and not weights.ray_w:
         raise ValueError("precond='h1' requires a nonzero ray_w")
 
-    clamp = grad_clamp if (optimizer == "sgd" and precond == "none") else 0.0
+    clamp = grad_clamp if (optimizer == "sgd"
+                           and precond in ("none", "h1")) else 0.0
 
     def init_state(mesh: MeshState):
         init_v = mesh.vertices
@@ -122,7 +127,10 @@ def make_train_step(intersect_fn: Callable, weights: LossWeights,
             # same step scale as high-evidence ones; c_bar keeps the global
             # ray/regularizer balance of the reference's weighted sum.
             c_bar = jnp.sum(ev) / jnp.maximum(1.0, jnp.sum(ev > 0))
-            scale = c_bar / (ev + 0.25 * c_bar)
+            # no evidence at all (every ray lost) -> drop the ray term
+            scale = jnp.where(c_bar > 0.0,
+                              c_bar / (ev + 0.25 * jnp.maximum(c_bar, 1e-9)),
+                              0.0)
             g = g_ray * scale[:, None] + g_reg
             # H1 smoothing: descent direction in the Sobolev metric.
             g = sobolev_solve(g, mesh.neighbors, mesh.neighbor_valid,

@@ -115,7 +115,7 @@ def main():
     ap.add_argument("--optimizer", default="uadam",
                     choices=["sgd", "adam", "uadam"])
     ap.add_argument("--precond", default="sobolev",
-                    choices=["none", "sobolev"])
+                    choices=["none", "sobolev", "h1"])
     ap.add_argument("--lam", type=float, default=29.0)
     ap.add_argument("--lr", type=float, default=0.1)
     ap.add_argument("--rvpi", type=int, default=1,

@@ -44,3 +44,24 @@ def test_lod_optimization_with_remesh(tmp_path):
     import os
     cks = sorted(os.listdir(tmp_path))
     assert cks == ["sphere_pass00.ply", "sphere_pass01.ply"]
+
+
+def test_schedules_match_reference_interp():
+    """interp_linear / interp_reciprocal reproduce the reference's
+    interp_L / interp_R (optim.py:147-153): endpoint values and the
+    reciprocal's densification toward the end value."""
+    from drt_tpu.optimize.schedules import interp_linear, interp_reciprocal
+
+    # endpoints: pass 0 gets `start`, the LAST pass (num-1) gets `end`,
+    # exactly like the reference's i_pass/(Pass-1) interpolation
+    assert interp_linear(10.0, 1.0, 0, 5) == 10.0
+    assert abs(interp_linear(10.0, 1.0, 4, 5) - 1.0) < 1e-12
+    assert abs(interp_linear(10.0, 1.0, 2, 5) - 5.5) < 1e-12
+
+    assert interp_reciprocal(10.0, 1.0, 0, 5) == 10.0
+    assert abs(interp_reciprocal(10.0, 1.0, 4, 5) - 1.0) < 1e-9
+    # reciprocal interpolation at the midpoint: 1/(0.5*(1/10+1/1)) = 20/11
+    assert abs(interp_reciprocal(10.0, 1.0, 2, 5) - 20.0 / 11.0) < 1e-9
+    # monotone decreasing across the pass index
+    vals = [interp_reciprocal(10.0, 1.0, i, 20) for i in range(20)]
+    assert all(a > b for a, b in zip(vals, vals[1:]))
