@@ -68,7 +68,7 @@ def run_object(name, args):
 
     hp = HyperParams(name=name, ior=1.4723,
                      num_passes=args.passes, iters=args.iters,
-                     start_len=10.0, end_len=args.end_len,
+                     start_len=args.start_len, end_len=args.end_len,
                      optimizer=args.optimizer, precond=args.precond,
                      precond_lambda=args.lam, start_lr=args.lr,
                      ray_views_per_iter=args.rvpi,
@@ -104,6 +104,12 @@ def main():
     ap.add_argument("--passes", type=int, default=10)
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--end-len", type=float, default=2.0)
+    ap.add_argument("--start-len", type=float, default=10.0,
+                    help="LOD start edge length. The reference's 10 suits "
+                         "its crude upstream hulls; a carved init at "
+                         "--carve-res 160 carries ~1.4-unit detail, so ~4 "
+                         "preserves it (remesh at >=2 is drift-free, "
+                         "BASELINE.md round-2 notes)")
     ap.add_argument("--quick", action="store_true",
                     help="quarter resolution for smoke runs")
     ap.add_argument("--init", choices=["carved", "upstream"],
