@@ -45,12 +45,16 @@ from drt_tpu.intersect.api import Hits
 _UV_EPS = 1e-5
 RAY_TILE = 512
 TRI_CHUNK = 128
-# Whole-coef VMEM budget: [NC, 4C, 10] f32 must fit comfortably.
+# Whole-coef VMEM budget. The resident coefficient buffer is [NC, 16, 4C]
+# f32 — 16 sublane-padded rows, NOT the 10 logical Plucker rows (a 65536-face
+# mesh allocates 16.7 MB and blew the 16 MB scoped-vmem limit by 88 KB on the
+# pig suite run). Count the padded rows and leave headroom for the ray-tile
+# operands and kernel stack.
 VMEM_COEF_LIMIT_BYTES = 10 * 1024 * 1024
 
 
 def pallas_fits(num_padded_faces: int) -> bool:
-    return num_padded_faces * 4 * 10 * 4 <= VMEM_COEF_LIMIT_BYTES
+    return num_padded_faces * 4 * 16 * 4 <= VMEM_COEF_LIMIT_BYTES
 
 
 def _kernel(count_ref, lo_ref, hi_ref, cand_ref, o3_ref, inv3_ref, phiT_ref,

@@ -268,8 +268,21 @@ def optimize(
 
         if remesh_fn is not None:
             v_np, f_np = mesh.host_arrays()
-            v_np, f_np = remesh_fn(v_np, f_np, remesh_len)
-            mesh = build_mesh_state(v_np, f_np)
+            # Optimizer-roughened geometry can occasionally drive a collapse
+            # cascade that breaks watertightness (observed on long runs).
+            # Retry slightly finer, then keep the current mesh rather than
+            # dying mid-run (the reference would crash, optim.py:51).
+            for target in (remesh_len, 0.8 * remesh_len, None):
+                if target is None:
+                    log_fn(f"  WARNING: remesh failed at pass {i_pass}; "
+                           "keeping the current mesh this pass")
+                    break
+                try:
+                    v2, f2 = remesh_fn(v_np, f_np, target)
+                    mesh = build_mesh_state(v2, f2)
+                    break
+                except (ValueError, RuntimeError) as e:
+                    log_fn(f"  remesh to {target:g} failed ({e}); retrying")
 
         budget = max(hp.silhouette_budget
                      or default_silhouette_budget(mesh.num_edges),
