@@ -47,6 +47,9 @@ class HyperParams:
                                  # tames gradient noise at low capture res
     bilinear_mask: bool = False  # bilinear soft-mask sampling in the
                                  # silhouette loss (reference truncates)
+    huber: float = 0.0           # Huber delta on per-ray direction
+                                 # residuals; 0 = reference-parity L2
+                                 # (see optimize/losses.ray_loss)
     dtype: str = "float32"       # compute dtype for the differentiable path
     backend: str = "auto"        # intersect backend: auto|brute|culled|pallas
     silhouette_budget: Optional[int] = None  # static silhouette-edge budget

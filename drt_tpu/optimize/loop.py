@@ -79,8 +79,13 @@ def make_train_step(intersect_fn: Callable, weights: LossWeights,
     if precond == "h1" and not weights.ray_w:
         raise ValueError("precond='h1' requires a nonzero ray_w")
 
-    clamp = grad_clamp if (optimizer == "sgd"
-                           and precond in ("none", "h1")) else 0.0
+    # h1 clamps under EVERY optimizer: one near-degenerate-triangle ray can
+    # spike the gradient by ~1e7, and uadam's max-based second moment never
+    # forgets it (b2=0.999) — the denominator stays huge and the mesh
+    # freezes. Clamping the smoothed direction bounds the spike at the
+    # trust-region scale instead.
+    clamp = grad_clamp if (precond == "h1" or (optimizer == "sgd"
+                                               and precond == "none")) else 0.0
 
     def init_state(mesh: MeshState):
         init_v = mesh.vertices
@@ -238,7 +243,7 @@ def optimize(
     intersect_fn = get_intersect_fn(hp.backend)
     weights = LossWeights(ray_w=hp.ray_w, vh_w=hp.vh_w, sm_w=hp.sm_w,
                           ior=hp.ior, ext_ior=hp.ext_ior,
-                          bilinear_mask=hp.bilinear_mask)
+                          bilinear_mask=hp.bilinear_mask, huber=hp.huber)
 
     if isinstance(metrics, str):
         from drt_tpu.utils.metrics import MetricsLogger

@@ -35,16 +35,30 @@ class LossWeights(NamedTuple):
     ior: float
     ext_ior: float = 1.00029
     bilinear_mask: bool = False   # see silhouette_loss
+    huber: float = 0.0            # see ray_loss; 0 = reference-parity L2
 
 
 def ray_loss(mesh, view, intersect_fn: Callable, ior: float,
-             ext_ior: float, collect_evidence: bool = False) -> jnp.ndarray:
+             ext_ior: float, collect_evidence: bool = False,
+             huber: float = 0.0) -> jnp.ndarray:
     """One-view refraction loss (reference optim.py:91-108).
 
     collect_evidence=True also returns, in the stats dict under
     "vertex_evidence", the per-vertex count of contributing rays (each
     valid ray votes for the 3 vertices of both refraction triangles) —
-    the diagonal preconditioner of the 'h1' optimizer mode."""
+    the diagonal preconditioner of the 'h1' optimizer mode.
+
+    huber > 0 applies a Huber robustification to each ray's direction
+    residual. Even at ground truth the plain L2 loss has a large floor
+    (~20% of its visual-hull value) carried by chaotic rays —
+    grazing/TIR-adjacent paths whose exit direction is O(1) wrong under
+    any infinitesimal surface perturbation. Real environment matting marks
+    exactly those pixels invalid (the matting itself fails there); a
+    synthetic capture keeps them, and their unbounded influence drives the
+    mesh OFF the true surface (measured: full-batch H1 flow diverges
+    H 0.05 -> 0.23 from near-GT without this). Huber caps each ray's
+    influence at `huber` while staying exactly L2 below it.
+    huber=0 is the reference's plain L2 (optim.py:104-107)."""
     screen_pixel, valid, _mask, origin, ray_dir, _cam = view
     res = render_transparent(origin, ray_dir, mesh, intersect_fn, ior, ext_ior)
     # Target direction: from the (detached) exit origin to the matted screen
@@ -62,7 +76,11 @@ def ray_loss(mesh, view, intersect_fn: Callable, ior: float,
             ev = ev.at[mesh.faces[tri]].add(
                 jnp.broadcast_to(wf, (tri.shape[0], 3)))
         stats["vertex_evidence"] = ev
-    return jnp.sum(jnp.where(m, diff * diff, 0.0)), stats
+    s = jnp.sum(jnp.where(m, diff * diff, 0.0), axis=1)
+    if huber:
+        r = jnp.sqrt(jnp.maximum(s, 1e-24))
+        s = jnp.where(r <= huber, s, 2.0 * huber * r - huber * huber)
+    return jnp.sum(jnp.where(w, s, 0.0)), stats
 
 
 def silhouette_loss(mesh, view, intersect_fn: Callable, budget: int,
@@ -121,7 +139,8 @@ def total_loss(mesh, views, ray_view_idx, silh_view_idx, intersect_fn,
         def one_ray(idx):
             return ray_loss(mesh, views.take(idx), intersect_fn,
                             weights.ior, weights.ext_ior,
-                            collect_evidence=collect_evidence)
+                            collect_evidence=collect_evidence,
+                            huber=weights.huber)
 
         rls, stats = jax.lax.map(one_ray, ray_view_idx)
         rl = jnp.mean(rls)

@@ -72,7 +72,8 @@ def run_object(name, args):
                      optimizer=args.optimizer, precond=args.precond,
                      precond_lambda=args.lam, start_lr=args.lr,
                      ray_views_per_iter=args.rvpi,
-                     ray_w=args.ray_w, sm_w=args.sm_w, vh_w=args.vh_w)
+                     ray_w=args.ray_w, sm_w=args.sm_w, vh_w=args.vh_w,
+                     huber=args.huber)
     ck = os.path.join(args.out_dir, "checkpoints", name)
     t0 = time.time()
     mesh = optimize(hp, cap, v0, f0, remesh_fn="isotropic",
@@ -110,6 +111,8 @@ def main():
                          "--carve-res 160 carries ~1.4-unit detail, so ~4 "
                          "preserves it (remesh at >=2 is drift-free, "
                          "BASELINE.md round-2 notes)")
+    ap.add_argument("--huber", type=float, default=0.0,
+                    help="Huber delta on per-ray residuals (0 = L2 parity)")
     ap.add_argument("--quick", action="store_true",
                     help="quarter resolution for smoke runs")
     ap.add_argument("--init", choices=["carved", "upstream"],
