@@ -201,7 +201,13 @@ def main(full: bool = True):
     head = next((r for r in rows if r["mesh"] == "mouse_vh"
                  and r.get("rays_per_s_step")), None)
     full_row = next((r for r in rows if r["mesh"] == "mouse_vh"
-                     and r.get("rays") == 1228800), None)
+                     and r.get("rays") == 1228800
+                     and r.get("rays_per_s_step")), None)
+    if head is None:   # every mouse config failed: still emit the one line
+        print(json.dumps({"metric": "rays/s fwd+bwd 2-bounce refraction",
+                          "value": 0, "unit": "rays/s", "vs_baseline": 0.0,
+                          "error": "all mouse_vh configs failed"}))
+        return
     value = (full_row or head)["rays_per_s_step"]
     metric = ("rays/s fwd+bwd 2-bounce refraction (mouse_vh, "
               + ("full 1280x960 view" if full_row else "256x256 rays")

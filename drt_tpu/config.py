@@ -31,6 +31,13 @@ class HyperParams:
     momentum: float = 0.95
     start_lr: float = 0.1
     lr_decay: float = 0.5
+    lr_schedule: str = "reciprocal"  # reciprocal (reference parity,
+                                 # optim.py:147-153) | len — lr tracks the
+                                 # remesh edge length (start_lr at start_len,
+                                 # proportional thereafter). 'len' suits
+                                 # uadam, whose unit-normalized step is an
+                                 # absolute displacement in mesh units and
+                                 # must shrink with the feature scale
     start_len: float = 10.0      # remesh target edge length schedule start
     end_len: float = 1.0
     num_view: int = 72           # views used for the refraction loss

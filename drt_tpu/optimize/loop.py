@@ -267,8 +267,11 @@ def optimize(
     for i_pass in range(start_pass, hp.num_passes):
         remesh_len = interp_reciprocal(hp.start_len, hp.end_len, i_pass,
                                        hp.num_passes)
-        lr = interp_reciprocal(hp.start_lr, hp.lr_decay * hp.start_lr,
-                               i_pass, hp.num_passes)
+        if hp.lr_schedule == "len":
+            lr = hp.start_lr * remesh_len / hp.start_len
+        else:
+            lr = interp_reciprocal(hp.start_lr, hp.lr_decay * hp.start_lr,
+                                   i_pass, hp.num_passes)
         log_fn(f"pass {i_pass}: remesh_len {remesh_len:g} lr {lr:g}")
 
         if remesh_fn is not None:

@@ -71,6 +71,7 @@ def run_object(name, args):
                      start_len=args.start_len, end_len=args.end_len,
                      optimizer=args.optimizer, precond=args.precond,
                      precond_lambda=args.lam, start_lr=args.lr,
+                     lr_schedule=args.lr_schedule,
                      ray_views_per_iter=args.rvpi,
                      ray_w=args.ray_w, sm_w=args.sm_w, vh_w=args.vh_w,
                      huber=args.huber)
@@ -85,6 +86,14 @@ def run_object(name, args):
     save_ply(os.path.join(args.out_dir, f"{name}_recons.ply"), v, f)
     init_h = hausdorff_distance(v0, f0, gt_v, gt_f)
     final_h = hausdorff_distance(v, f, gt_v, gt_f)
+    # per-pass H trajectory from the checkpoints (the quantity that showed
+    # the 8x200 run descending monotonically — BASELINE.md round-2 finding)
+    traj = []
+    for i in range(args.passes):
+        p = os.path.join(ck, f"{name}_pass{i:02d}.ply")
+        if os.path.exists(p):
+            cv, cf = load_ply(p)
+            traj.append(round(hausdorff_distance(cv, cf, gt_v, gt_f).mean, 4))
     return {
         "object": name, "resy": resy, "resx": resx, "views": args.views,
         "passes": args.passes, "iters": args.iters,
@@ -94,6 +103,7 @@ def run_object(name, args):
         "init_hausdorff_mean": round(init_h.mean, 4),
         "final_hausdorff_mean": round(final_h.mean, 4),
         "final_hausdorff_rms": round(final_h.rms, 4),
+        "pass_hausdorff_mean": traj,
         "V": len(v), "F": len(f),
     }
 
@@ -127,6 +137,8 @@ def main():
                     choices=["none", "sobolev", "h1"])
     ap.add_argument("--lam", type=float, default=29.0)
     ap.add_argument("--lr", type=float, default=0.1)
+    ap.add_argument("--lr-schedule", default="reciprocal",
+                    choices=["reciprocal", "len"])
     ap.add_argument("--rvpi", type=int, default=1,
                     help="refraction views averaged per iteration")
     ap.add_argument("--ray-w", type=float, default=40.0)

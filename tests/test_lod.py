@@ -65,3 +65,37 @@ def test_schedules_match_reference_interp():
     # monotone decreasing across the pass index
     vals = [interp_reciprocal(10.0, 1.0, i, 20) for i in range(20)]
     assert all(a > b for a, b in zip(vals, vals[1:]))
+
+
+def test_len_tracking_lr_schedule():
+    """lr_schedule='len' ties the per-pass lr to the remesh edge length
+    (start_lr at start_len, proportional thereafter) — the step-scale
+    schedule for unit-normalized optimizers whose lr is an absolute
+    displacement in mesh units. Exercises the loop's branch by parsing
+    the per-pass log lines of a tiny 2-pass run."""
+    import re
+
+    from drt_tpu.optimize.schedules import interp_reciprocal
+
+    gt_v, gt_f = make_icosphere(subdivisions=2, radius=RADIUS)
+    cap = synthesize_capture(gt_v, gt_f, name="sphere_lrlen", num_views=4,
+                             resy=24, resx=24, ior=1.5, backend="brute",
+                             num_view_used=4)
+    hp = HyperParams(name="sphere_lrlen", ior=1.5, num_passes=2, iters=1,
+                     start_lr=0.1, start_len=12.0, end_len=8.0,
+                     lr_schedule="len", optimizer="uadam",
+                     backend="brute", silhouette_budget=256, num_view=4)
+    lines = []
+    optimize(hp, cap, gt_v, gt_f, remesh_fn=None, log_fn=lines.append)
+
+    lrs = {}
+    for ln in lines:
+        m = re.match(r"pass (\d+): remesh_len ([\d.]+) lr ([\d.]+)", ln)
+        if m:
+            lrs[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+    assert set(lrs) == {0, 1}
+    for i_pass, (remesh_len, lr) in lrs.items():
+        expect_len = interp_reciprocal(12.0, 8.0, i_pass, 2)
+        assert abs(remesh_len - expect_len) < 1e-4
+        assert abs(lr - 0.1 * expect_len / 12.0) < 1e-4
+    assert lrs[0][1] == 0.1 and lrs[1][1] < 0.1
