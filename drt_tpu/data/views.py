@@ -82,6 +82,36 @@ class CaptureData:
                 yield int(i)
 
 
+def downsample_capture(cap: CaptureData, k: int) -> CaptureData:
+    """Subsample a capture's pixel grid by k in each dimension (keep pixels
+    (k·i, k·j)). Lets one full-resolution synthesis cache serve every
+    lower-resolution experiment. The intrinsics scale exactly: pixel index
+    u' = u/k  =>  K' = diag(1/k, 1/k, 1) @ K (up to the half-pixel-center
+    offset, < k/2 px, irrelevant at experiment scale)."""
+    v = cap.views
+    resy, resx = cap.resy // k, cap.resx // k
+
+    def grid(a):
+        """[V, N, ...] flattened row-major -> subsampled + reflattened."""
+        full = a.reshape((a.shape[0], cap.resy, cap.resx) + a.shape[2:])
+        sub = full[:, ::k, ::k]
+        return sub.reshape((a.shape[0], resy * resx) + a.shape[2:])
+
+    scale = jnp.asarray([1.0 / k, 1.0 / k, 1.0], dtype=v.K.dtype)
+    K = v.K * scale[None, :, None]
+    origin = v.origin if v.origin.shape[1] == 1 else grid(v.origin)
+    views = ViewBatch(
+        screen_pixel=grid(v.screen_pixel),
+        valid=grid(v.valid),
+        mask=v.mask[:, ::k, ::k],
+        origin=origin,
+        ray_dir=grid(v.ray_dir),
+        R=v.R, K=K, R_inv=v.R_inv,
+        K_inv=jnp.linalg.inv(K.astype(jnp.float64)).astype(v.K_inv.dtype),
+    )
+    return dataclasses.replace(cap, resy=resy, resx=resx, views=views)
+
+
 def stack_views(view_list, dtype=jnp.float32) -> ViewBatch:
     """view_list: list of dicts with keys screen_pixel/valid/mask/origin/
     ray_dir/R/K (numpy). Inverses are computed here."""

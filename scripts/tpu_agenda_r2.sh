@@ -21,8 +21,10 @@ tail -1 results_r2/bench_r2_validate.log
 #    parity dynamics (the proven-descending config)
 for obj in mouse pig; do
   mkdir -p results_r2/long16_$obj/capture_cache
-  cp results_r2/fixed_parity/capture_cache/*.npz results_r2/long16_$obj/capture_cache/ 2>/dev/null
-  timeout 7200 python scripts/run_suite.py --objects $obj --views 24 \
+  cp results_r2/fixed_parity/capture_cache/*.npz \
+     results_r2/fixed_start4_parity_pig/capture_cache/pig_*.npz \
+     results_r2/long16_$obj/capture_cache/ 2>/dev/null
+  timeout 7200 python scripts/run_suite.py --quick --objects $obj --views 24 \
     --passes 16 --iters 200 --init carved --start-len 4 \
     --optimizer sgd --precond none --lr 0.1 \
     --out-dir results_r2/long16_$obj 2>&1 | tee results_r2/long16_$obj.log
@@ -34,7 +36,7 @@ PASSES=20 bash scripts/fullres_r2.sh
 # 4. A/B: uadam+h1 with len-tracking lr at the same long schedule
 mkdir -p results_r2/long16_uadam_len/capture_cache
 cp results_r2/fixed_parity/capture_cache/*.npz results_r2/long16_uadam_len/capture_cache/ 2>/dev/null
-timeout 7200 python scripts/run_suite.py --objects mouse --views 24 \
+timeout 7200 python scripts/run_suite.py --quick --objects mouse --views 24 \
   --passes 16 --iters 200 --init carved --start-len 4 \
   --optimizer uadam --precond h1 --lam 29 --lr 0.1 --lr-schedule len \
   --out-dir results_r2/long16_uadam_len 2>&1 | tee results_r2/long16_uadam_len.log
