@@ -125,6 +125,33 @@ def bench_config(name, ply_path, resy, resx, iters, backend="auto"):
         o, d, vert, ms.faces, ms.face_valid).t)
     dt_oracle = time_it(oracle, origin, ray_dir, ms.vertices)
 
+    # candidate-prepass alone (the XLA slab stage feeding the Pallas kernel)
+    # so the oracle splits into prepass vs kernel (VERDICT r1 weak item 2).
+    from drt_tpu.intersect.culled import _chunk_aabbs
+    from drt_tpu.intersect.pallas_kernel import (
+        RAY_TILE, TRI_CHUNK, _candidates)
+
+    def prepass(o, d, vert):
+        shift = jax.lax.stop_gradient(
+            jnp.mean(o.astype(jnp.float32), axis=0))
+        oc = o.astype(jnp.float32) - shift
+        dc = d.astype(jnp.float32)
+        pad = (-oc.shape[0]) % RAY_TILE
+        if pad:
+            oc = jnp.pad(oc, ((0, pad), (0, 0)))
+            dc = jnp.pad(dc, ((0, pad), (0, 0)), constant_values=1.0)
+        T = oc.shape[0] // RAY_TILE
+        ot = oc.reshape(T, RAY_TILE, 3).transpose(0, 2, 1)
+        dt = dc.reshape(T, RAY_TILE, 3).transpose(0, 2, 1)
+        lo_c, hi_c, chunk_valid = _chunk_aabbs(
+            vert, ms.faces, ms.face_valid, shift, TRI_CHUNK)
+        return _candidates(ot, dt, lo_c, hi_c, chunk_valid, 0.0)
+
+    dt_prepass = time_it(jax.jit(prepass), origin, ray_dir, ms.vertices)
+
+    # forward-only loss so the backward share of the step is visible
+    dt_fwd = time_it(jax.jit(loss_fn), ms.vertices)
+
     # Exactness vs the brute all-pairs oracle on a ray subsample. This runs
     # on the real chip, where matmul-precision bugs actually manifest (CPU
     # tests compute f32 matmuls exactly and cannot catch them — the round-2
@@ -154,6 +181,8 @@ def bench_config(name, ply_path, resy, resx, iters, backend="auto"):
         "rays_per_s_step": round(n_rays / dt_step),
         "oracle_ms": round(dt_oracle * 1e3, 2),
         "rays_per_s_oracle": round(n_rays / dt_oracle),
+        "prepass_ms": round(dt_prepass * 1e3, 2),
+        "fwd_ms": round(dt_fwd * 1e3, 2),
         "oracle_hit_mismatch_vs_brute": n_mismatch,
         "oracle_exact_sample": int(hit_f.size),
         "step_gflops": round(flops / 1e9, 2),

@@ -1,0 +1,68 @@
+"""Aggregate per-run suite_report.json files into the 8-object table
+(VERDICT round-1 item 9: per-object Hausdorff + wall-clock, comparable to
+the reference's paper protocol /root/reference/README.md:13).
+
+Usage:
+  python scripts/aggregate_suite.py results_r2/long16_* [--out reports/suite_r2]
+
+Writes <out>.json (merged rows) and <out>.md (the table). If an object
+appears in several runs the latest row wins.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("run_dirs", nargs="+")
+    ap.add_argument("--out", default="reports/suite_r2")
+    args = ap.parse_args()
+
+    rows = {}
+    for d in args.run_dirs:
+        p = os.path.join(d, "suite_report.json")
+        if not os.path.exists(p):
+            print(f"skip (no report): {d}", file=sys.stderr)
+            continue
+        for r in json.load(open(p)):
+            r["run_dir"] = d
+            rows[r["object"]] = r
+
+    order = ["hand", "mouse", "dog", "monkey", "horse", "pig", "rabbit",
+             "tiger"]
+    merged = [rows[o] for o in order if o in rows] + \
+             [r for o, r in sorted(rows.items()) if o not in order]
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out + ".json", "w") as fh:
+        json.dump(merged, fh, indent=1)
+
+    lines = [
+        "| object | res | views | schedule | init H | final H | improved |"
+        " wall-clock (s) |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in merged:
+        sched = f"{r['passes']}x{r['iters']}"
+        imp = "yes" if r["final_hausdorff_mean"] < r["init_hausdorff_mean"] \
+            else "NO"
+        lines.append(
+            f"| {r['object']} | {r['resx']}x{r['resy']} | {r['views']} "
+            f"| {sched} | {r['init_hausdorff_mean']} "
+            f"| {r['final_hausdorff_mean']} | {imp} "
+            f"| {r['optimize_s']} |")
+    n_imp = sum(r["final_hausdorff_mean"] < r["init_hausdorff_mean"]
+                for r in merged)
+    lines.append("")
+    lines.append(f"{n_imp}/{len(merged)} objects improved over their init.")
+    with open(args.out + ".md", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
