@@ -149,6 +149,15 @@ def bench_config(name, ply_path, resy, resx, iters, backend="auto"):
 
     dt_prepass = time_it(jax.jit(prepass), origin, ray_dir, ms.vertices)
 
+    # Analytic MXU work of the oracle: XLA's cost analysis cannot see inside
+    # pallas_call, so count the kernel's Moller-Trumbore matmuls from the
+    # candidate lists — each candidate chunk visited by a ray tile is one
+    # [16,4C]^T @ [16,RT] dot (upper bound: the kernel prunes chunks whose
+    # slab re-test loses to the running best_t).
+    _, counts = jax.jit(prepass)(origin, ray_dir, ms.vertices)
+    n_cand = int(np.asarray(counts).sum())
+    oracle_mxu_flops = n_cand * 2 * 16 * (4 * TRI_CHUNK) * RAY_TILE
+
     # forward-only loss so the backward share of the step is visible
     dt_fwd = time_it(jax.jit(loss_fn), ms.vertices)
 
@@ -183,6 +192,9 @@ def bench_config(name, ply_path, resy, resx, iters, backend="auto"):
         "rays_per_s_oracle": round(n_rays / dt_oracle),
         "prepass_ms": round(dt_prepass * 1e3, 2),
         "fwd_ms": round(dt_fwd * 1e3, 2),
+        "oracle_mxu_gflops": round(oracle_mxu_flops / 1e9, 2),
+        "oracle_mxu_tflops_per_s": round(
+            oracle_mxu_flops / dt_oracle / 1e12, 3),
         "oracle_hit_mismatch_vs_brute": n_mismatch,
         "oracle_exact_sample": int(hit_f.size),
         "step_gflops": round(flops / 1e9, 2),
@@ -193,6 +205,8 @@ def bench_config(name, ply_path, resy, resx, iters, backend="auto"):
         row["mfu_pct_vs_bf16_peak"] = round(100 * flops / dt_step
                                             / peak_flops, 2)
         row["hbm_bw_pct"] = round(100 * nbytes / dt_step / peak_bw, 1)
+        row["oracle_mxu_mfu_pct"] = round(
+            100 * oracle_mxu_flops / dt_oracle / peak_flops, 2)
     log(f"  {json.dumps(row)}")
     return row
 
