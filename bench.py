@@ -52,7 +52,7 @@ def chip_peaks():
     return kind, "?", None, None
 
 
-def make_rays(v, resy, resx):
+def make_rays(v, resy, resx, supersample=1):
     """Synthetic camera looking at the mesh: full-pixel-grid rays plus the
     screen point behind the object (the capture geometry of data/synthetic)."""
     import jax.numpy as jnp
@@ -67,7 +67,7 @@ def make_rays(v, resy, resx):
     cam = CameraM(jnp.asarray(R, jnp.float32), jnp.asarray(K, jnp.float32),
                   jnp.asarray(np.linalg.inv(R), jnp.float32),
                   jnp.asarray(np.linalg.inv(K), jnp.float32))
-    origin, ray_dir = generate_rays(resy, resx, cam)
+    origin, ray_dir = generate_rays(resy, resx, cam, supersample)
     screen_point = jnp.asarray(center - 2.5 * radius * (cam_pos - center)
                                / np.linalg.norm(cam_pos - center), jnp.float32)
     return origin, ray_dir, screen_point
@@ -85,7 +85,8 @@ def cost_of(compiled):
         return 0.0, 0.0
 
 
-def bench_config(name, ply_path, resy, resx, iters, backend="auto"):
+def bench_config(name, ply_path, resy, resx, iters, backend="auto",
+                 supersample=1):
     import jax
     import jax.numpy as jnp
     from drt_tpu.geometry.vec import safe_normalize
@@ -98,7 +99,7 @@ def bench_config(name, ply_path, resy, resx, iters, backend="auto"):
     intersect_fn = get_intersect_fn(backend)
     ior, ext_ior = 1.4723, 1.00029
 
-    origin, ray_dir, screen_point = make_rays(v, resy, resx)
+    origin, ray_dir, screen_point = make_rays(v, resy, resx, supersample)
     n_rays = origin.shape[0]
 
     def loss_fn(vertices):
@@ -184,7 +185,9 @@ def bench_config(name, ply_path, resy, resx, iters, backend="auto"):
     kind, chip, peak_flops, peak_bw = chip_peaks()
     row = {
         "mesh": name, "faces": ms.num_faces, "rays": int(n_rays),
-        "res": f"{resx}x{resy}", "backend": backend,
+        "res": f"{resx}x{resy}" + (f"@ss{supersample}" if supersample > 1
+                                   else ""),
+        "backend": backend,
         "streaming_kernel": ms.faces.shape[0] * 160 > 10 * 1024 * 1024,
         "step_ms": round(dt_step * 1e3, 2),
         "rays_per_s_step": round(n_rays / dt_step),
@@ -229,6 +232,11 @@ def main(full: bool = True):
             ("dog_vh", data + "dog_vh.ply", 256, 256, 5),
             ("dog_vh", data + "dog_vh.ply", 960, 1280, 3),
             ("monkey_vh", data + "monkey_vh.ply", 256, 256, 5),
+            # BASELINE config 5: high-res tiger, 4x supersampled rays
+            # (2x2 sub-pixel grid over the full Redmi 1920x1080 view =
+            # 8,294,400 rays in one fwd+bwd step on one chip; the pod
+            # shards this batch along the ray axis, tests/test_parallel.py)
+            ("tiger_vh", data + "tiger_vh.ply", 1080, 1920, 2, "auto", 2),
         ]
     for cfg in configs:
         try:

@@ -36,16 +36,25 @@ class CameraM(NamedTuple):
     K_inv: jnp.ndarray      # [3,3]
 
 
-def generate_rays(resy: int, resx: int, camera: CameraM):
+def generate_rays(resy: int, resx: int, camera: CameraM,
+                  supersample: int = 1):
     """Back-project every pixel. Returns (origin [N,3], dir [N,3] unit),
-    N = resy*resx, pixel (x,y) at row-major index y*resx + x.
-    Reference: captured_data.py:23-40 (note: pixel centers at integer
-    coordinates, z=1 plane, matching the reference)."""
+    N = resy*resx*supersample², pixel (x,y) at row-major index y*resx + x
+    when supersample == 1. Reference: captured_data.py:23-40 (note: pixel
+    centers at integer coordinates, z=1 plane, matching the reference).
+
+    supersample > 1 emits an s×s sub-pixel grid per pixel (the BASELINE
+    config-5 "4× supersampled rays" workload): sub-pixel coordinates
+    (i + 0.5)/s − 0.5 along each axis, so s=1 reproduces the integer pixel
+    centers bit-for-bit and the s² sub-rays of pixel (y,x) average to its
+    center. Row-major over the fine (resy·s × resx·s) grid: the sub-rays of
+    pixel (y,x) sit at fine rows s·y..s·y+s−1, fine cols s·x..s·x+s−1."""
     K_inv = camera.K_inv
     R_inv = camera.R_inv
     dtype = K_inv.dtype
-    ys = jnp.arange(resy, dtype=dtype)
-    xs = jnp.arange(resx, dtype=dtype)
+    s = int(supersample)
+    ys = (jnp.arange(resy * s, dtype=dtype) + 0.5) / s - 0.5
+    xs = (jnp.arange(resx * s, dtype=dtype) + 0.5) / s - 0.5
     py, px = jnp.meshgrid(ys, xs, indexing="ij")
     pz = jnp.ones_like(py)
     pixel = jnp.stack([px, py, pz], axis=2).reshape(-1, 3)    # [N,3]
