@@ -31,10 +31,19 @@ def carve_occupancy(masks: np.ndarray, R: np.ndarray, K: np.ndarray,
     """Min-over-views soft occupancy on a regular grid.
 
     masks: [Vw, resy, resx] soft masks in [0,1]; R: [Vw,4,4] world->cam;
-    K: [Vw,3,3]. Returns (field [n,n,n], origin [3], spacing [3]).
-    Voxels projecting outside a view's frame are unconstrained by that view
-    (no carving) — the rig keeps the object in frame, so this only affects
-    the padded boundary.
+    K: [Vw,3,3]. Returns (field [n,n,n], in_frame [n,n,n] bool, origin [3],
+    spacing [3]).
+
+    A voxel projecting outside a view's frame is unconstrained by that view
+    (its mask says nothing there), so it does not carve — but `in_frame`
+    records whether the voxel is inside EVERY view's frame. The rig keeps
+    the object in frame in all views (true of the reference's ring rig and
+    of the synthetic one), so the object satisfies in_frame everywhere and
+    callers should reject never-observed voxels: at wide aspect ratios
+    (Redmi 16:9) the volume corners above/below every frustum form solid
+    slabs bigger than the object, and the largest-connected-component
+    cleanup would otherwise keep a slab instead of the object (the pig
+    round-2 failure).
     """
     lo = np.asarray(lo, np.float64)
     hi = np.asarray(hi, np.float64)
@@ -48,7 +57,7 @@ def carve_occupancy(masks: np.ndarray, R: np.ndarray, K: np.ndarray,
     resy, resx = masks.shape[1], masks.shape[2]
 
     @jax.jit
-    def one_view(field, mask, Rv, Kv):
+    def one_view(field, seen, mask, Rv, Kv):
         ones = jnp.ones((pts.shape[0], 1), jnp.float32)
         # full-precision projection (bf16 MXU default is off by pixels at
         # these magnitudes — see render/camera.py)
@@ -68,14 +77,17 @@ def carve_occupancy(masks: np.ndarray, R: np.ndarray, K: np.ndarray,
         m = ((1 - wy) * ((1 - wx) * mask[y0, x0] + wx * mask[y0, x0 + 1])
              + wy * ((1 - wx) * mask[y0 + 1, x0] + wx * mask[y0 + 1, x0 + 1]))
         view_occ = jnp.where(inside, m, 1.0)    # out of frame: unconstrained
-        return jnp.minimum(field, view_occ)
+        return jnp.minimum(field, view_occ), seen & inside
 
     field = jnp.ones((pts.shape[0],), jnp.float32)
+    seen = jnp.ones((pts.shape[0],), jnp.bool_)
     for v in range(masks.shape[0]):
-        field = one_view(field, jnp.asarray(masks[v], jnp.float32),
-                         jnp.asarray(R[v], jnp.float32),
-                         jnp.asarray(K[v], jnp.float32))
-    return np.asarray(field).reshape(n, n, n), lo, spacing
+        field, seen = one_view(field, seen,
+                               jnp.asarray(masks[v], jnp.float32),
+                               jnp.asarray(R[v], jnp.float32),
+                               jnp.asarray(K[v], jnp.float32))
+    return (np.asarray(field).reshape(n, n, n),
+            np.asarray(seen).reshape(n, n, n), lo, spacing)
 
 
 # Cell-corner offsets (x,y,z) indexed 0..7, and the 12 cell edges as corner
@@ -241,8 +253,13 @@ def carved_visual_hull(cap: CaptureData, lo, hi, resolution: int = 128,
     masks = np.asarray(cap.views.mask)
     R = np.asarray(cap.views.R)
     K = np.asarray(cap.views.K)
-    field, origin, spacing = carve_occupancy(masks, R, K, lo, hi, resolution)
+    field, seen, origin, spacing = carve_occupancy(masks, R, K, lo, hi,
+                                                   resolution)
 
+    # Reject voxels not observed by every view: the object is in frame in
+    # all views, so this only removes the never-carvable out-of-frustum
+    # regions (which can exceed the object in volume at wide aspects).
+    field = np.where(seen, field, 0.0)
     occ = _cleanup_binary(field > 0.5)
     occ = _make_well_composed(occ)
     # keep the soft field where it survived cleanup (smooth crossings),

@@ -321,8 +321,9 @@ def intersect_pallas(origins, dirs, vertices, faces, face_valid=None, *,
     NCp = cand.shape[2]                    # lane-aligned candidate capacity
 
     # Small meshes: whole coef tensor VMEM-resident. Large: HBM + per-chunk
-    # double-buffered DMA (the streaming kernel).
-    resident = NC * tri_chunk * 4 * 10 * 4 <= VMEM_COEF_LIMIT_BYTES
+    # double-buffered DMA (the streaming kernel). Same 16-padded-row formula
+    # as pallas_fits — the coef buffer is [NC, 16, 4C] f32.
+    resident = pallas_fits(NC * tri_chunk)
 
     common_in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),               # count

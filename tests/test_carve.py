@@ -56,3 +56,28 @@ def test_carved_hull_contains_and_approximates(sphere_capture):
     # (distances measured from hull vertices to the object must never be
     # deeply *inside*; for a convex object, hull ~ object so just tightness)
     assert h.max < 8.0, h
+
+
+def test_carved_hull_wide_aspect_rejects_out_of_frustum_slabs():
+    """Regression (round-2 pig failure): at a wide aspect ratio the carve
+    volume's corners above/below every view's vertical frustum are never
+    carved; they must not survive as the 'largest component' in place of the
+    object. Voxels not observed by every view are rejected."""
+    gt_v, gt_f = make_icosphere(subdivisions=3, radius=50.0)
+    # 24x96 (4:1) frame: vertical half-fov atan(12/116) ~ 6 deg, so most of
+    # an oversized carve volume is never in frame vertically.
+    cap = synthesize_capture(gt_v, gt_f, num_views=12, resy=24, resx=96,
+                             ior=1.5, backend="brute", num_view_used=12)
+    c = gt_v.mean(0)
+    lo, hi = c - 110.0, c + 110.0        # much taller than the frustum slab
+    v, f = carved_visual_hull(cap, lo, hi, resolution=64, target_len=10.0)
+    topo = build_topology(f.astype(np.int64), len(v))
+    assert topo.is_watertight
+    # the hull is the sphere, not an out-of-frustum slab
+    assert np.all(np.abs(v - c) < 70.0), (v.min(0), v.max(0))
+    # H is loose by construction: at 4:1 the sphere itself overflows the
+    # frame vertically (angular radius atan(1/3.5) ~ 16 deg > the ~6 deg
+    # vertical half-fov), so the hull is clipped. The regression under test
+    # is slab rejection (the bbox assert), not hull tightness.
+    h = hausdorff_distance(v, f, gt_v, gt_f)
+    assert h.mean < 25.0, h
