@@ -78,7 +78,7 @@ def run_object(name, args):
     ck = os.path.join(args.out_dir, "checkpoints", name)
     t0 = time.time()
     mesh = optimize(hp, cap, v0, f0, remesh_fn="isotropic",
-                    checkpoint_dir=ck,
+                    checkpoint_dir=ck, resume=args.resume,
                     metrics=os.path.join(args.out_dir, f"{name}_metrics.jsonl"))
     t_opt = time.time() - t0
 
@@ -144,6 +144,9 @@ def main():
     ap.add_argument("--ray-w", type=float, default=40.0)
     ap.add_argument("--sm-w", type=float, default=0.08)
     ap.add_argument("--vh-w", type=float, default=2e-3)
+    ap.add_argument("--resume", action="store_true",
+                    help="resume each object from its last pass checkpoint "
+                         "(tunnel-blip resilience; fresh start if none)")
     ap.add_argument("--out-dir", default="result_suite")
     args = ap.parse_args()
 
