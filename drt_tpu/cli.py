@@ -41,9 +41,6 @@ def cmd_reconstruct(args):
         seed=args.seed, ray_views_per_iter=args.ray_views_per_iter,
     )
 
-    init_path = args.init_mesh or f"{DEFAULT_DATA_PATH}{hp.name}_vh.ply"
-    v_init, f_init = load_ply(init_path)
-
     if args.data == "synthetic":
         from drt_tpu.data import synthesize_capture
         gt_path = args.gt_mesh or f"{DEFAULT_DATA_PATH}{hp.name}_scan.ply"
@@ -60,6 +57,22 @@ def cmd_reconstruct(args):
     else:
         from drt_tpu.data import load_h5_capture
         data = load_h5_capture(args.data, hp.name, num_view_used=hp.num_view)
+
+    if args.init_mesh:
+        v_init, f_init = load_ply(args.init_mesh)
+    elif args.init == "carved":
+        # Self-consistent init: carve the hull from the capture's own masks
+        # over the rig's working volume (no ground truth needed).
+        from drt_tpu.data.carve import carved_visual_hull, rig_working_volume
+        lo, hi = rig_working_volume(data)
+        print(f"carving hull at {args.carve_res}^3 over "
+              f"[{lo.round(1)}, {hi.round(1)}]...")
+        v_init, f_init = carved_visual_hull(data, lo, hi,
+                                            resolution=args.carve_res,
+                                            target_len=hp.start_len)
+        print(f"carved hull: V={len(v_init)}, F={len(f_init)}")
+    else:
+        v_init, f_init = load_ply(f"{DEFAULT_DATA_PATH}{hp.name}_vh.ply")
 
     mesh = optimize(hp, data, v_init, f_init,
                     remesh_fn=None if args.no_remesh else "isotropic",
@@ -134,6 +147,33 @@ def cmd_render(args):
     print(f"wrote {base}_mask/valid/exitdir.png to {args.out_dir}")
 
 
+def cmd_carve(args):
+    """Carve a visual-hull mesh from a capture's silhouette masks (the
+    upstream step the reference assumes done: its *_vh.ply hulls were carved
+    from the same masks that ship in the .h5, captured_data.py:12-20)."""
+    from drt_tpu.data.carve import carved_visual_hull, rig_working_volume
+    from drt_tpu.mesh import load_ply, save_ply
+
+    if args.data == "synthetic":
+        from drt_tpu.data import synthesize_capture
+        gt_path = args.gt_mesh or f"{DEFAULT_DATA_PATH}{args.name}_scan.ply"
+        gt_v, gt_f = load_ply(gt_path)
+        data = synthesize_capture(gt_v, gt_f, name=args.name,
+                                  num_views=args.views, resy=args.resy,
+                                  resx=args.resx, ior=args.ior,
+                                  num_view_used=args.views)
+    else:
+        from drt_tpu.data import load_h5_capture
+        data = load_h5_capture(args.data, args.name)
+
+    lo, hi = rig_working_volume(data)
+    print(f"carving at {args.carve_res}^3 over [{lo.round(1)}, {hi.round(1)}]")
+    v, f = carved_visual_hull(data, lo, hi, resolution=args.carve_res,
+                              target_len=args.target_len)
+    save_ply(args.out, v, f)
+    print(f"wrote {args.out} (V={len(v)}, F={len(f)})")
+
+
 def cmd_remesh(args):
     from drt_tpu.mesh import load_ply, save_ply
     from drt_tpu.remesh import isotropic_remesh
@@ -155,7 +195,14 @@ def main(argv=None):
     r.add_argument("--name", default=hp.name)
     r.add_argument("--data", default="synthetic",
                    help="'synthetic' or a path to the object's .h5 capture")
-    r.add_argument("--init-mesh", default=None)
+    r.add_argument("--init-mesh", default=None,
+                   help="explicit init mesh path (overrides --init)")
+    r.add_argument("--init", choices=["upstream", "carved"],
+                   default="upstream",
+                   help="upstream: bundled {name}_vh.ply (reference "
+                        "parity); carved: space-carve the hull from the "
+                        "capture's own masks (self-consistent, recommended)")
+    r.add_argument("--carve-res", type=int, default=160)
     r.add_argument("--gt-mesh", default=None,
                    help="ground-truth mesh for synthetic capture")
     r.add_argument("--views", type=int, default=72)
@@ -201,6 +248,22 @@ def main(argv=None):
     rr.add_argument("--ior", type=float, default=1.4723)
     rr.add_argument("--backend", default="auto")
     rr.set_defaults(fn=cmd_render)
+
+    c = sub.add_parser("carve", help="space-carve a visual hull from a "
+                                     "capture's silhouette masks")
+    c.add_argument("--name", default=hp.name)
+    c.add_argument("--data", default="synthetic",
+                   help="'synthetic' or a path to a reference .h5 capture")
+    c.add_argument("--gt-mesh", default=None,
+                   help="scan mesh to synthesize the capture from")
+    c.add_argument("--views", type=int, default=72)
+    c.add_argument("--resy", type=int, default=256)
+    c.add_argument("--resx", type=int, default=256)
+    c.add_argument("--ior", type=float, default=hp.ior)
+    c.add_argument("--carve-res", type=int, default=160)
+    c.add_argument("--target-len", type=float, default=10.0)
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=cmd_carve)
 
     m = sub.add_parser("remesh", help="isotropic explicit remeshing")
     m.add_argument("--mesh", required=True)

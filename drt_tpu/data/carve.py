@@ -239,6 +239,30 @@ def _make_well_composed(occ: np.ndarray, max_rounds: int = 64) -> np.ndarray:
     raise ValueError("well-composed repair did not converge")
 
 
+def rig_working_volume(cap: CaptureData, frac: float = 0.45):
+    """Carving volume (lo, hi) from the camera geometry alone — no ground
+    truth needed (real .h5 captures have none). Center = least-squares
+    intersection of the optical axes (the rig's turntable center); half
+    extent = `frac` x mean camera distance. The ring rig frames the object
+    at roughly cam_dist/3.5 radius (captured_data.py geometry), so 0.45
+    over-covers safely: oversizing is harmless since carved_visual_hull
+    rejects never-in-frame voxels and carves the rest.
+    """
+    R = np.asarray(cap.views.R, np.float64)            # [Vw,4,4] world->cam
+    R_inv = np.linalg.inv(R)
+    centers = R_inv[:, :3, 3]                          # camera positions
+    axes = R[:, 2, :3]                                 # viewing directions
+    axes = axes / np.linalg.norm(axes, axis=1, keepdims=True)
+    # min_p sum ||(I - z z^T)(p - o)||^2  ->  A p = b
+    eye = np.eye(3)
+    proj = eye[None] - axes[:, :, None] * axes[:, None, :]
+    A = proj.sum(0)
+    b = np.einsum("vij,vj->i", proj, centers)
+    p = np.linalg.solve(A, b)
+    half = frac * float(np.linalg.norm(centers - p, axis=1).mean())
+    return p - half, p + half
+
+
 def carved_visual_hull(cap: CaptureData, lo, hi, resolution: int = 128,
                        target_len: float | None = None):
     """Carve a hull from the capture's own masks (self-consistent init).

@@ -81,3 +81,20 @@ def test_carved_hull_wide_aspect_rejects_out_of_frustum_slabs():
     # is slab rejection (the bbox assert), not hull tightness.
     h = hausdorff_distance(v, f, gt_v, gt_f)
     assert h.mean < 25.0, h
+
+
+def test_rig_working_volume_contains_object(sphere_capture):
+    """The GT-free carving volume (least-squares optical-axis intersection +
+    frustum-scale half extent) must contain the object — this is what lets
+    `cli carve` / `reconstruct --init carved` run on real .h5 captures that
+    have no ground-truth mesh."""
+    from drt_tpu.data.carve import carved_visual_hull, rig_working_volume
+
+    gt_v, gt_f, cap = sphere_capture
+    lo, hi = rig_working_volume(cap)
+    assert np.all(gt_v > lo + 1.0) and np.all(gt_v < hi - 1.0), (lo, hi)
+    v, f = carved_visual_hull(cap, lo, hi, resolution=64, target_len=10.0)
+    topo = build_topology(f.astype(np.int64), len(v))
+    assert topo.is_watertight
+    h = hausdorff_distance(v, f, gt_v, gt_f)
+    assert h.mean < 4.0, h
