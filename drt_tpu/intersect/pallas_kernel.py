@@ -236,6 +236,58 @@ def _coef_packed(vertices, faces, face_valid, shift, tri_chunk):
     return jnp.pad(c4, ((0, 0), (0, 6), (0, 0))), NC
 
 
+def _pad_cand_lanes(cand):
+    """Pad the candidate-id list to the 128-lane tile so the VMEM->SMEM DMA
+    slice is aligned (small meshes can have NC as low as 1)."""
+    NC = cand.shape[-1]
+    NCp = -(-NC // 128) * 128
+    if NCp != NC:
+        cand = jnp.pad(cand, ((0, 0), (0, 0), (0, NCp - NC)))
+    return cand
+
+
+def _candidates_tile(ot, dt, lo_c, hi_c, chunk_valid, t_min):
+    """Tile-frustum prepass: ONE interval-arithmetic slab test per (tile,
+    chunk) instead of one per (ray, chunk) — O(NC) vs O(RT*NC) per tile,
+    which removes the prepass from the oracle's critical path on large
+    meshes (dog 256²: the per-ray prepass was 12.1 ms of an 18.2 ms oracle).
+
+    The tile's rays are abstracted to a per-axis origin interval and
+    inverse-direction interval; interval products bound every ray's slab
+    entry/exit, so the emitted candidate list is a conservative SUPERSET of
+    the per-ray prepass (a tile whose directions straddle an axis sign gets
+    unbounded intervals and keeps every chunk). Exactness is unaffected —
+    the kernel re-runs the precise per-ray slab test per candidate; only the
+    loop trip count grows for incoherent tiles.
+    ot/dt: [T,3,RT]. Returns (cand [T,1,NCp] i32, count [T,1] i32)."""
+    olo = ot.min(axis=2)                                  # [T,3]
+    ohi = ot.max(axis=2)
+    dsafe = jnp.where(jnp.abs(dt) > 1e-20, dt,
+                      jnp.where(dt >= 0, 1e-20, -1e-20))
+    inv = 1.0 / dsafe
+    ilo = inv.min(axis=2)                                 # [T,3]
+    ihi = inv.max(axis=2)
+
+    def bounds(planes):
+        # interval (lo,hi) of (planes - o) * inv per [T,NC,3]
+        alo = planes[None] - ohi[:, None, :]
+        ahi = planes[None] - olo[:, None, :]
+        p = jnp.stack([alo * ilo[:, None, :], alo * ihi[:, None, :],
+                       ahi * ilo[:, None, :], ahi * ihi[:, None, :]])
+        return p.min(axis=0), p.max(axis=0)
+
+    t1lo, t1hi = bounds(lo_c)
+    t2lo, t2hi = bounds(hi_c)
+    # per-axis near-plane lower bound / far-plane upper bound over the tile
+    entry_lo = jnp.minimum(t1lo, t2lo).max(axis=-1)       # [T,NC]
+    exit_hi = jnp.maximum(t1hi, t2hi).min(axis=-1)
+    overlap = (entry_lo <= exit_hi) & (exit_hi > t_min) & chunk_valid[None]
+    score = jnp.where(overlap, jnp.maximum(entry_lo, 0.0), jnp.inf)
+    order = jnp.argsort(score, axis=-1).astype(jnp.int32)  # nearest first
+    count = jnp.sum(jnp.isfinite(score), axis=-1).astype(jnp.int32)
+    return _pad_cand_lanes(order[:, None, :]), count[:, None]
+
+
 def _candidates(ot, dt, lo_c, hi_c, chunk_valid, t_min, group=16):
     """XLA prepass: nearest-first candidate chunk lists per ray tile.
     ot/dt: [T,3,RT]. Returns (cand [T,NC] i32, count [T,1] i32)."""
@@ -269,20 +321,20 @@ def _candidates(ot, dt, lo_c, hi_c, chunk_valid, t_min, group=16):
          d_in.reshape(n_groups, g, *dt.shape[1:])))
     NC = lo_c.shape[0]
     cand = cand.reshape(-1, 1, NC)[:T]
-    # pad the candidate-id list to the 128-lane tile so the VMEM->SMEM DMA
-    # slice is aligned (small meshes can have NC as low as 1)
-    NCp = -(-NC // 128) * 128
-    if NCp != NC:
-        cand = jnp.pad(cand, ((0, 0), (0, 0), (0, NCp - NC)))
-    return (cand, count.reshape(-1, 1)[:T])
+    return (_pad_cand_lanes(cand), count.reshape(-1, 1)[:T])
 
 
 def intersect_pallas(origins, dirs, vertices, faces, face_valid=None, *,
                      t_min: float = 0.0, ray_tile: int = RAY_TILE,
                      tri_chunk: int = TRI_CHUNK,
+                     prepass: str = "ray",
                      interpret: bool | None = None) -> Hits:
     """Closest hit for each ray (TPU Pallas kernel). Misses: t=inf, id=-1.
-    Off-TPU the kernel runs in Pallas interpreter mode (tests)."""
+    Off-TPU the kernel runs in Pallas interpreter mode (tests).
+
+    prepass: "ray" = exact per-ray slab candidate lists (original); "tile" =
+    interval-arithmetic tile-frustum lists (conservative superset, ~RT× less
+    prepass work — see _candidates_tile)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     from drt_tpu.intersect.culled import _chunk_aabbs
@@ -317,7 +369,11 @@ def intersect_pallas(origins, dirs, vertices, faces, face_valid=None, *,
         [dt, w, ot, jnp.ones((T, 1, ray_tile), jnp.float32),
          jnp.zeros((T, 6, ray_tile), jnp.float32)], axis=1)  # [T,16,RT]
 
-    cand, count = _candidates(ot, dt, lo_c, hi_c, chunk_valid, t_min)
+    if prepass == "tile":
+        cand, count = _candidates_tile(ot, dt, lo_c, hi_c, chunk_valid,
+                                       t_min)
+    else:
+        cand, count = _candidates(ot, dt, lo_c, hi_c, chunk_valid, t_min)
     NCp = cand.shape[2]                    # lane-aligned candidate capacity
 
     # Small meshes: whole coef tensor VMEM-resident. Large: HBM + per-chunk

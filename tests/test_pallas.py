@@ -61,3 +61,43 @@ def test_streaming_variant_matches_brute(monkeypatch):
     both = np.asarray(hb.hit)
     np.testing.assert_allclose(np.asarray(hp.t)[both],
                                np.asarray(hb.t)[both], rtol=1e-5, atol=1e-4)
+
+
+def test_tile_prepass_matches_brute():
+    """The tile-frustum prepass emits a conservative candidate SUPERSET;
+    results must still be exact (the kernel re-runs the per-ray slab test).
+    scene_rays is fully incoherent — the worst case for the tile test."""
+    v, f = make_icosphere(subdivisions=4, radius=50.0)
+    ms = build_mesh_state(v, f)
+    o, d = scene_rays(1024, seed=11)
+    hb = intersect_brute(o, d, ms.vertices, ms.faces, ms.face_valid)
+    hp = intersect_pallas(o, d, ms.vertices, ms.faces, ms.face_valid,
+                          prepass="tile", interpret=True)
+    hr, hn = np.asarray(hb.hit), np.asarray(hp.hit)
+    assert (hr != hn).sum() <= 2
+    both = hr & hn
+    np.testing.assert_allclose(np.asarray(hp.t)[both],
+                               np.asarray(hb.t)[both], rtol=1e-5, atol=1e-4)
+
+
+def test_tile_prepass_superset_of_ray_prepass():
+    """Every chunk the per-ray prepass selects must appear among the tile
+    prepass's first `count` candidates (completeness of the cheap test)."""
+    import jax
+    from drt_tpu.intersect.culled import _chunk_aabbs
+    from drt_tpu.intersect.pallas_kernel import (_candidates,
+                                                 _candidates_tile)
+    v, f = make_icosphere(subdivisions=4, radius=50.0)
+    ms = build_mesh_state(v, f)
+    o, d = scene_rays(1024, seed=13)
+    shift = jnp.mean(o, axis=0)
+    lo_c, hi_c, cv = _chunk_aabbs(ms.vertices, ms.faces, ms.face_valid,
+                                  shift, 128)
+    ot = (o - shift).reshape(2, 512, 3).transpose(0, 2, 1)
+    dt = d.reshape(2, 512, 3).transpose(0, 2, 1)
+    c_ray, n_ray = jax.jit(_candidates)(ot, dt, lo_c, hi_c, cv, 0.0)
+    c_til, n_til = jax.jit(_candidates_tile)(ot, dt, lo_c, hi_c, cv, 0.0)
+    for t in range(2):
+        ray_set = set(np.asarray(c_ray[t, 0, :int(n_ray[t, 0])]).tolist())
+        til_set = set(np.asarray(c_til[t, 0, :int(n_til[t, 0])]).tolist())
+        assert ray_set <= til_set
