@@ -32,6 +32,9 @@ def main():
                     default=[256, 512, 1024])
     ap.add_argument("--tri-chunks", nargs="*", type=int,
                     default=[64, 128, 256])
+    ap.add_argument("--prepasses", nargs="*", default=["ray", "tile"],
+                    help="candidate prepass variants to sweep (tile = "
+                         "interval frustum test, see pallas_kernel.py)")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--out", default="reports/kernel_tuning.json")
     args = ap.parse_args()
@@ -52,8 +55,9 @@ def main():
         n = origin.shape[0]
         for rt in args.ray_tiles:
             for tc in args.tri_chunks:
+              for pp in args.prepasses:
                 fn = jax.jit(functools.partial(
-                    intersect_pallas, ray_tile=rt, tri_chunk=tc))
+                    intersect_pallas, ray_tile=rt, tri_chunk=tc, prepass=pp))
                 try:
                     hits = fn(origin, ray_dir, ms.vertices, ms.faces,
                               ms.face_valid)
@@ -65,14 +69,14 @@ def main():
                     jax.block_until_ready(hits.t)
                     dt = (time.perf_counter() - t0) / args.iters
                     row = {"mesh": name, "faces": ms.num_faces,
-                           "ray_tile": rt, "tri_chunk": tc,
+                           "ray_tile": rt, "tri_chunk": tc, "prepass": pp,
                            "oracle_ms": round(dt * 1e3, 2),
                            "mrays_per_s": round(n / dt / 1e6, 2),
                            "hits": int(np.isfinite(
                                np.asarray(hits.t)).sum())}
                 except Exception as e:
                     row = {"mesh": name, "ray_tile": rt, "tri_chunk": tc,
-                           "error": repr(e)[:200]}
+                           "prepass": pp, "error": repr(e)[:200]}
                 print(json.dumps(row), flush=True)
                 rows.append(row)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
