@@ -34,6 +34,7 @@ bit-match the brute oracle up to shared-edge ties; validated in tests.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,46 @@ from drt_tpu.intersect.api import Hits
 _UV_EPS = 1e-5
 RAY_TILE = 512
 TRI_CHUNK = 128
+
+# Auto-tuning: scripts/tune_kernel.py sweeps (ray_tile, tri_chunk, prepass)
+# per mesh-size regime on the real chip and writes reports/kernel_tuning.json;
+# when present, intersect_pallas defaults to the best measured config for the
+# nearest swept face count (log-space nearest — regimes span 9k..184k faces).
+_TUNING_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "..", "..", "reports", "kernel_tuning.json")
+
+
+@functools.lru_cache(maxsize=1)
+def _tuning_table():
+    import json
+    try:
+        with open(os.path.normpath(_TUNING_PATH)) as fh:
+            rows = json.load(fh)
+    except (OSError, ValueError):
+        return ()
+    best = {}
+    for r in rows:
+        if not all(k in r for k in
+                   ("faces", "oracle_ms", "ray_tile", "tri_chunk", "prepass")):
+            continue
+        k = int(r["faces"])
+        if k not in best or r["oracle_ms"] < best[k]["oracle_ms"]:
+            best[k] = r
+    return tuple(sorted(best.items()))
+
+
+def tuned_params(num_faces: int) -> dict:
+    """Best measured (ray_tile, tri_chunk, prepass) for this mesh size, or
+    {} when no tuning table exists (module defaults apply)."""
+    import math
+    tab = _tuning_table()
+    if not tab:
+        return {}
+    _, row = min(tab, key=lambda kv: abs(math.log(kv[0] / max(num_faces, 1))))
+    return {"ray_tile": int(row["ray_tile"]),
+            "tri_chunk": int(row["tri_chunk"]),
+            "prepass": str(row["prepass"])}
 # Whole-coef VMEM budget. The resident coefficient buffer is [NC, 16, 4C]
 # f32 — 16 sublane-padded rows, NOT the 10 logical Plucker rows (a 65536-face
 # mesh allocates 16.7 MB and blew the 16 MB scoped-vmem limit by 88 KB on the
@@ -325,18 +366,27 @@ def _candidates(ot, dt, lo_c, hi_c, chunk_valid, t_min, group=16):
 
 
 def intersect_pallas(origins, dirs, vertices, faces, face_valid=None, *,
-                     t_min: float = 0.0, ray_tile: int = RAY_TILE,
-                     tri_chunk: int = TRI_CHUNK,
-                     prepass: str = "ray",
+                     t_min: float = 0.0, ray_tile: int | None = None,
+                     tri_chunk: int | None = None,
+                     prepass: str | None = None,
                      interpret: bool | None = None) -> Hits:
     """Closest hit for each ray (TPU Pallas kernel). Misses: t=inf, id=-1.
     Off-TPU the kernel runs in Pallas interpreter mode (tests).
 
     prepass: "ray" = exact per-ray slab candidate lists (original); "tile" =
     interval-arithmetic tile-frustum lists (conservative superset, ~RT× less
-    prepass work — see _candidates_tile)."""
+    prepass work — see _candidates_tile).
+
+    ray_tile/tri_chunk/prepass default to the measured-best config for this
+    mesh size when reports/kernel_tuning.json exists (see tuned_params),
+    else RAY_TILE/TRI_CHUNK/"ray"."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if ray_tile is None or tri_chunk is None or prepass is None:
+        tuned = tuned_params(int(faces.shape[0]))
+        ray_tile = ray_tile or tuned.get("ray_tile", RAY_TILE)
+        tri_chunk = tri_chunk or tuned.get("tri_chunk", TRI_CHUNK)
+        prepass = prepass or tuned.get("prepass", "ray")
     from drt_tpu.intersect.culled import _chunk_aabbs
 
     N = origins.shape[0]

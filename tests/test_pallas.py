@@ -101,3 +101,45 @@ def test_tile_prepass_superset_of_ray_prepass():
         ray_set = set(np.asarray(c_ray[t, 0, :int(n_ray[t, 0])]).tolist())
         til_set = set(np.asarray(c_til[t, 0, :int(n_til[t, 0])]).tolist())
         assert ray_set <= til_set
+
+
+def test_tuned_params_lookup(tmp_path, monkeypatch):
+    """tuned_params picks the best row of the nearest mesh-size regime and
+    intersect_pallas falls back to module defaults with no table."""
+    import json
+    from drt_tpu.intersect import pallas_kernel as pk
+
+    rows = [
+        {"mesh": "small", "faces": 10000, "ray_tile": 256, "tri_chunk": 64,
+         "prepass": "tile", "oracle_ms": 5.0},
+        {"mesh": "small", "faces": 10000, "ray_tile": 512, "tri_chunk": 128,
+         "prepass": "ray", "oracle_ms": 9.0},
+        {"mesh": "big", "faces": 150000, "ray_tile": 1024, "tri_chunk": 256,
+         "prepass": "ray", "oracle_ms": 80.0},
+    ]
+    p = tmp_path / "kernel_tuning.json"
+    p.write_text(json.dumps(rows))
+    monkeypatch.setattr(pk, "_TUNING_PATH", str(p))
+    pk._tuning_table.cache_clear()
+    try:
+        assert pk.tuned_params(9000) == {
+            "ray_tile": 256, "tri_chunk": 64, "prepass": "tile"}
+        assert pk.tuned_params(200000) == {
+            "ray_tile": 1024, "tri_chunk": 256, "prepass": "ray"}
+        # corrupt / absent table -> {} (module defaults)
+        monkeypatch.setattr(pk, "_TUNING_PATH", str(tmp_path / "absent.json"))
+        pk._tuning_table.cache_clear()
+        assert pk.tuned_params(9000) == {}
+        # tuned defaults still give exact hits (interpret mode, vs brute)
+        monkeypatch.setattr(pk, "_TUNING_PATH", str(p))
+        pk._tuning_table.cache_clear()
+        v, f = make_icosphere(subdivisions=3, radius=50.0)
+        ms = build_mesh_state(v, f)
+        o, d = scene_rays(512, seed=7)
+        hb = intersect_brute(o, d, ms.vertices, ms.faces, ms.face_valid)
+        hp = pk.intersect_pallas(o, d, ms.vertices, ms.faces, ms.face_valid,
+                                 interpret=True)
+        np.testing.assert_array_equal(np.asarray(hb.tri_id),
+                                      np.asarray(hp.tri_id))
+    finally:
+        pk._tuning_table.cache_clear()
