@@ -64,6 +64,15 @@ class HyperParams:
     tri_chunk: int = 512         # brute-force triangle blocking
     seed: int = 0
     checkpoint_every_pass: bool = True
+    no_coarsen: bool = False     # clamp the LOD remesh target to the init
+                                 # mesh's own mean edge length: a space-carved
+                                 # init carries finer detail than the
+                                 # reference's crude hulls, and the schedule's
+                                 # early coarse passes can destroy more
+                                 # accuracy than optimization recovers at low
+                                 # capture res (hand quick: H 1.24 -> 1.59 at
+                                 # the first len-4 remesh, reports/
+                                 # suite_r2_8obj_quick.md)
 
     def replace(self, **kw) -> "HyperParams":
         return dataclasses.replace(self, **kw)

@@ -264,9 +264,12 @@ def optimize(
     budget_floor = 0   # grown when a pass observes more silhouette edges
     t_start = time.time()
 
+    init_len = float(mesh.mean_len)
     for i_pass in range(start_pass, hp.num_passes):
         remesh_len = interp_reciprocal(hp.start_len, hp.end_len, i_pass,
                                        hp.num_passes)
+        if hp.no_coarsen:
+            remesh_len = min(remesh_len, init_len)
         if hp.lr_schedule == "len":
             lr = hp.start_lr * remesh_len / hp.start_len
         else:
