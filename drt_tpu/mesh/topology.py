@@ -87,7 +87,21 @@ def build_topology(faces: np.ndarray, num_vertices: int) -> MeshTopology:
     group_starts = np.nonzero(new_group)[0]
     group_sizes = np.diff(np.append(group_starts, len(es)))
 
-    watertight = bool(np.all(group_sizes == 2)) and F > 0
+    # Watertight = closed orientable 2-manifold: every undirected edge shared
+    # by exactly two faces, every directed edge unique (consistent winding),
+    # no degenerate faces, and no duplicate faces. The last two are NOT
+    # implied by edge counts: two faces over the same vertex triple with
+    # opposite winding (a "pillow", the collapse tetra-endgame artifact —
+    # see native/remesh.cpp) keep all edge counts at 2 yet explode into
+    # 4-face edges when later split.
+    degenerate = bool(np.any(directed[:, 0] == directed[:, 1]))
+    dir_unique = len(np.unique(directed[:, 0].astype(np.int64)
+                               * max(num_vertices, 1)
+                               + directed[:, 1], axis=0)) == len(directed)
+    tri_sorted = np.sort(faces, axis=1)
+    faces_unique = len(np.unique(tri_sorted, axis=0)) == F
+    watertight = (bool(np.all(group_sizes == 2)) and F > 0
+                  and not degenerate and dir_unique and faces_unique)
     # Keep only edges shared by exactly two faces (all of them if watertight).
     pair_mask = group_sizes == 2
     starts2 = group_starts[pair_mask]

@@ -143,6 +143,7 @@ def _collapse_round(v: np.ndarray, f: np.ndarray, lmin: float,
             a, b, c = int(tri[i]), int(tri[(i + 1) % 3]), int(tri[(i + 2) % 3])
             edge_key[(min(a, b), max(a, b))].append(c)
 
+    face_set = set(map(tuple, np.sort(f, axis=1)))
     claimed = np.zeros(num_v, dtype=bool)
     target = np.arange(num_v, dtype=np.int64)          # collapse mapping
     new_pos = v.copy()
@@ -158,6 +159,13 @@ def _collapse_round(v: np.ndarray, f: np.ndarray, lmin: float,
         # link condition: N(a)∩N(b) must be exactly the two opposite verts
         inter = nbr[a] & nbr[b]
         if inter != set(opp):
+            continue
+        # duplicate-face guard (tetrahedron endgame — see native/remesh.cpp):
+        # if faces {a,c1,c2} and {b,c1,c2} both exist, the collapse would
+        # produce a duplicated face (degenerate pillow)
+        c1, c2 = opp
+        if (tuple(sorted((a, c1, c2))) in face_set
+                and tuple(sorted((b, c1, c2))) in face_set):
             continue
         mid = 0.5 * (v[a] + v[b])
         # no new over-long edges (Botsch-Kobbelt guard)
@@ -297,6 +305,35 @@ def tangential_smooth(v: np.ndarray, f: np.ndarray, lam: float = 0.5):
     return v + lam * d_tan
 
 
+# --- repair -----------------------------------------------------------------
+
+def remove_duplicate_face_pairs(v: np.ndarray, f: np.ndarray):
+    """Remove degenerate "pillow" artifacts: pairs of faces over the same
+    vertex triple (opposite winding). Each pair contributes 2 to its three
+    edge counts, so edge-based watertight checks pass while a later edge
+    split explodes the pillow into 4-face edges. Produced by the collapse
+    tetra-endgame bug fixed in native/remesh.cpp (round 3); this repairs
+    meshes corrupted before the fix (e.g. resumed checkpoints). Unreferenced
+    vertices are dropped. Returns (v, f) unchanged if no duplicates exist."""
+    f = np.asarray(f)
+    tri_sorted = np.sort(f, axis=1)
+    _, inv, counts = np.unique(tri_sorted, axis=0, return_inverse=True,
+                               return_counts=True)
+    if (counts <= 1).all():
+        return v, f
+    # drop floor(count/2)*2 faces of each duplicated triple
+    keep = np.ones(len(f), dtype=bool)
+    for g in np.nonzero(counts > 1)[0]:
+        idx = np.nonzero(inv == g)[0]
+        drop = (len(idx) // 2) * 2
+        keep[idx[:drop]] = False
+    f2 = f[keep]
+    used = np.zeros(len(v), dtype=bool)
+    used[f2.reshape(-1)] = True
+    remap = np.cumsum(used) - 1
+    return np.asarray(v)[used], remap[f2]
+
+
 # --- driver -----------------------------------------------------------------
 
 def isotropic_remesh(vertices: np.ndarray, faces: np.ndarray,
@@ -319,6 +356,7 @@ def isotropic_remesh(vertices: np.ndarray, faces: np.ndarray,
     happens here either way (the Python side owns the spatial index)."""
     v = np.asarray(vertices, dtype=np.float64).copy()
     f = np.asarray(faces, dtype=np.int64).copy()
+    v, f = remove_duplicate_face_pairs(v, f)   # repair pre-fix corruption
     v0, f0 = v.copy(), f.copy()
     surface = SurfaceIndex(v, f) if (project or max_surf_dist > 0) else None
 

@@ -109,6 +109,20 @@ int32_t third_vertex(const Tri& t, int32_t a, int32_t b) {
   return -1;
 }
 
+// true iff an alive face over exactly the vertex set {x, y, z} exists
+bool has_face(const Mesh& m, int32_t x, int32_t y, int32_t z) {
+  for (int32_t fi : m.vfaces[x]) {
+    const Tri& t = m.f[fi];
+    bool hy = false, hz = false;
+    for (int c = 0; c < 3; ++c) {
+      hy |= t[c] == y;
+      hz |= t[c] == z;
+    }
+    if (hy && hz) return true;
+  }
+  return false;
+}
+
 // ---- original-surface distance guard --------------------------------------
 //
 // The reference's meshlabserver filter runs with CheckSurfDist=true and
@@ -318,6 +332,12 @@ void collapse_short_edges(Mesh& m, double lmin, double lmax,
       }
     }
     if (bad || inter != 2) continue;
+    // Duplicate-face guard (tetrahedron endgame): if faces {a,c1,c2} and
+    // {b,c1,c2} both exist, rewriting b's faces to a would duplicate
+    // {a,c1,c2} — a degenerate two-face "pillow" whose edges still count 2
+    // (so edge-based watertight checks pass) but whose later split explodes
+    // into 4-face edges. Observed on dog/pig carved inits (round 3).
+    if (has_face(m, a, c1, c2) && has_face(m, b, c1, c2)) continue;
     V3 mid = mul(add(pa, pb), 0.5);
     // CheckSurfDist: the collapsed vertex must stay near the original
     // surface (meshlabserver MaxSurfDist, optim.py MLX script)

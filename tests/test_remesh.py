@@ -130,3 +130,65 @@ class TestNativeCore:
         v2, f2 = isotropic_remesh(v, f, target_len=3.0)
         topo = check_watertight(v2, f2)
         assert len(f2) < len(f) // 10
+
+
+class TestPillowRegression:
+    """Regression tests for the collapse tetra-endgame bug (round 3).
+
+    Collapsing edge (a,b) when faces {a,c1,c2} and {b,c1,c2} both exist
+    rewrites {b,c1,c2} into a duplicate of {a,c1,c2} — a two-face "pillow"
+    whose edges still count 2 (old watertight check passed) but whose later
+    split explodes into 4-face edges. Observed as 100% remesh failure on
+    the dog/pig quick-suite runs (VERDICT.md round 2, weak #1)."""
+
+    def test_tetrahedron_collapse_guard(self):
+        # A regular tetrahedron with all edges < lmin is the minimal
+        # endgame configuration: without the guard, one collapse creates
+        # the duplicated face.
+        v = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0],
+                      [0.5, 0.866, 0.0], [0.5, 0.289, 0.816]])
+        f = np.array([[0, 2, 1], [0, 1, 3], [1, 2, 3], [2, 0, 3]])
+        check_watertight(v, f)
+        for use_native in (True, False):
+            v2, f2 = isotropic_remesh(v, f, target_len=100.0,
+                                      use_native=use_native,
+                                      max_surf_dist=0.0, project=False)
+            topo = check_watertight(v2, f2)
+            s = np.sort(np.asarray(f2), axis=1)
+            assert len(np.unique(s, axis=0)) == len(f2), use_native
+
+    def test_strict_watertight_rejects_pillow(self):
+        # Duplicate face pair over the same triple: edge counts are all 2
+        # but the mesh is degenerate — the strict check must reject it.
+        v = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+        f = np.array([[0, 1, 2], [0, 2, 1]])
+        assert not build_topology(f, len(v)).is_watertight
+
+    def test_remove_duplicate_face_pairs(self):
+        from drt_tpu.remesh.isotropic import remove_duplicate_face_pairs
+        v, f = make_icosphere(subdivisions=1, radius=1.0)
+        # graft a floating pillow: 3 extra vertices, 2 identical faces
+        nv = len(v)
+        v2 = np.concatenate([v, [[5, 0, 0], [6, 0, 0], [5, 1, 0]]])
+        f2 = np.concatenate([f, [[nv, nv + 1, nv + 2], [nv, nv + 2, nv + 1]]])
+        assert not build_topology(f2, len(v2)).is_watertight
+        v3, f3 = remove_duplicate_face_pairs(v2, f2)
+        assert len(f3) == len(f) and len(v3) == len(v)
+        check_watertight(v3, f3)
+
+    def test_corrupted_dog_checkpoint_fixture(self):
+        """The real failing mesh from the round-2 dog run: pass-01
+        checkpoint with one pillow pair. isotropic_remesh must repair it
+        and produce a strictly watertight result at the target that failed
+        in production (3.52941), with both backends."""
+        from drt_tpu.mesh.ply import load_ply
+        import os
+        path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "dog_pillow_corrupt.ply")
+        v, f = load_ply(path)
+        assert not build_topology(np.asarray(f), len(v)).is_watertight
+        for use_native in (True, False):
+            v2, f2 = isotropic_remesh(v, f, 3.52941, use_native=use_native)
+            check_watertight(v2, f2)
+            s = np.sort(np.asarray(f2), axis=1)
+            assert len(np.unique(s, axis=0)) == len(f2), use_native
