@@ -69,7 +69,11 @@ def _tuning_table():
         if not all(k in r for k in
                    ("faces", "oracle_ms", "ray_tile", "tri_chunk", "prepass")):
             continue
-        k = int(r["faces"])
+        # Key on the padded buffer size when the sweep recorded it — that is
+        # what intersect_pallas sees at lookup time (ADVICE.md round 2);
+        # older tables recorded only the logical count (close enough in
+        # log-space for regime selection).
+        k = int(r.get("faces_padded", r["faces"]))
         if k not in best or r["oracle_ms"] < best[k]["oracle_ms"]:
             best[k] = r
     return tuple(sorted(best.items()))

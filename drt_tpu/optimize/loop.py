@@ -250,6 +250,13 @@ def optimize(
         metrics = MetricsLogger(metrics)
 
     v_np, f_np = np.asarray(init_vertices), np.asarray(init_faces)
+    # no_coarsen clamp target: the ORIGINAL init's mean edge length, computed
+    # before any resume load so fresh and resumed runs use the same clamp
+    # (ADVICE.md round 2). Directed-edge mean == undirected mean on a closed
+    # mesh.
+    tri = v_np[f_np]
+    init_len = float(np.mean(np.linalg.norm(
+        tri - np.roll(tri, -1, axis=1), axis=2)))
     start_pass = 0
     if resume and checkpoint_dir:
         found = find_resume_pass(checkpoint_dir, hp.name)
@@ -264,7 +271,6 @@ def optimize(
     budget_floor = 0   # grown when a pass observes more silhouette edges
     t_start = time.time()
 
-    init_len = float(mesh.mean_len)
     for i_pass in range(start_pass, hp.num_passes):
         remesh_len = interp_reciprocal(hp.start_len, hp.end_len, i_pass,
                                        hp.num_passes)

@@ -42,35 +42,37 @@ def main():
         json.dump(merged, fh, indent=1)
 
     # Two improvement columns: "vs init" compares against the raw carved
-    # hull, "vs pass0" against the H after the first coarse remesh (the
-    # optimizer's actual starting point — the LOD schedule's start-len
-    # deliberately coarsens a fine carved init, reference optim.py:190-215).
+    # hull, "vs end-of-pass-0" against the H at the END of pass 0 (first
+    # coarse remesh + its full iteration block — checkpoints are written
+    # after each pass's optimization, so traj[0] is NOT the optimizer's raw
+    # post-remesh start). Rows with no trajectory are excluded from the
+    # pass-0 count rather than counted via a sentinel (ADVICE.md round 2).
     lines = [
-        "| object | res | views | schedule | init H | pass0 H | final H "
-        "| vs init | vs pass0 | wall-clock (s) |",
+        "| object | res | views | schedule | init H | end-of-pass0 H "
+        "| final H | vs init | vs pass0 | wall-clock (s) |",
         "|---|---|---|---|---|---|---|---|---|---|",
     ]
+    n_imp = n_imp0 = n_traj = 0
     for r in merged:
         sched = f"{r['passes']}x{r['iters']}"
-        traj = r.get("pass_hausdorff_mean") or [r["final_hausdorff_mean"]]
-        imp = "yes" if r["final_hausdorff_mean"] < r["init_hausdorff_mean"] \
-            else "NO"
-        imp0 = "yes" if r["final_hausdorff_mean"] < traj[0] else "NO"
+        traj = r.get("pass_hausdorff_mean")
+        imp = r["final_hausdorff_mean"] < r["init_hausdorff_mean"]
+        n_imp += imp
+        if traj:
+            n_traj += 1
+            imp0 = "yes" if r["final_hausdorff_mean"] < traj[0] else "NO"
+            n_imp0 += imp0 == "yes"
+            p0 = traj[0]
+        else:
+            imp0, p0 = "n/a", "-"
         lines.append(
             f"| {r['object']} | {r['resx']}x{r['resy']} | {r['views']} "
-            f"| {sched} | {r['init_hausdorff_mean']} | {traj[0]} "
-            f"| {r['final_hausdorff_mean']} | {imp} | {imp0} "
-            f"| {r['optimize_s']} |")
-    n_imp = sum(r["final_hausdorff_mean"] < r["init_hausdorff_mean"]
-                for r in merged)
-    n_imp0 = sum(r["final_hausdorff_mean"]
-                 < (r.get("pass_hausdorff_mean")
-                    or [r["final_hausdorff_mean"] + 1])[0]
-                 for r in merged)
+            f"| {sched} | {r['init_hausdorff_mean']} | {p0} "
+            f"| {r['final_hausdorff_mean']} | {'yes' if imp else 'NO'} "
+            f"| {imp0} | {r['optimize_s']} |")
     lines.append("")
     lines.append(f"{n_imp}/{len(merged)} objects improved over their raw "
-                 f"init; {n_imp0}/{len(merged)} over their post-remesh "
-                 f"optimization start.")
+                 f"init; {n_imp0}/{n_traj} over their end-of-pass-0 state.")
     with open(args.out + ".md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print("\n".join(lines))

@@ -69,6 +69,10 @@ def main():
                     jax.block_until_ready(hits.t)
                     dt = (time.perf_counter() - t0) / args.iters
                     row = {"mesh": name, "faces": ms.num_faces,
+                           # the lookup in tuned_params() sees the padded
+                           # buffer size, not the logical count — record it
+                           # so sweep keys and lookup keys match (ADVICE.md)
+                           "faces_padded": int(ms.faces.shape[0]),
                            "ray_tile": rt, "tri_chunk": tc, "prepass": pp,
                            "oracle_ms": round(dt * 1e3, 2),
                            "mrays_per_s": round(n / dt / 1e6, 2),
