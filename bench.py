@@ -102,13 +102,22 @@ def bench_config(name, ply_path, resy, resx, iters, backend="auto",
     origin, ray_dir, screen_point = make_rays(v, resy, resx, supersample)
     n_rays = origin.shape[0]
 
+    from drt_tpu.render.chunked import auto_ray_chunk, chunked_sum
+    ray_chunk = auto_ray_chunk(n_rays)
+    lane_valid = jnp.ones((n_rays,), bool)   # padded False past n_rays
+
     def loss_fn(vertices):
         m = ms.with_vertices(vertices)
-        res = render_transparent(origin, ray_dir, m, intersect_fn, ior,
-                                 ext_ior)
-        target = safe_normalize(screen_point - res.origin)
-        diff = res.direction - target
-        return jnp.sum(jnp.where(res.valid[:, None], diff * diff, 0.0))
+
+        def body(o, d, lv):
+            res = render_transparent(o, d, m, intersect_fn, ior, ext_ior,
+                                     lane_mask=lv)
+            target = safe_normalize(screen_point - res.origin)
+            diff = res.direction - target
+            return jnp.sum(jnp.where(res.valid[:, None], diff * diff, 0.0))
+
+        return chunked_sum(body, (origin, ray_dir, lane_valid), ray_chunk,
+                           pad_values=(0.0, 1.0, False))
 
     def time_it(fn, *args, n=iters):
         out = fn(*args)

@@ -62,6 +62,10 @@ class HyperParams:
     silhouette_budget: Optional[int] = None  # static silhouette-edge budget
     ray_chunk: int = 8192        # brute-force ray blocking
     tri_chunk: int = 512         # brute-force triangle blocking
+    diff_ray_chunk: int = -1     # ray-tile chunking of the differentiable
+                                 # fwd+bwd trace (render/chunked.py):
+                                 # -1 = auto (chunk only batches above a
+                                 # full Redmi view), 0 = never chunk
     seed: int = 0
     checkpoint_every_pass: bool = True
     no_coarsen: bool = False     # clamp the LOD remesh target to the init

@@ -48,7 +48,8 @@ def make_train_step(intersect_fn: Callable, weights: LossWeights,
                     resy: int, resx: int, silhouette_budget: int,
                     momentum: float = 0.95, optimizer: str = "sgd",
                     precond: str = "none", precond_lambda: float = 29.0,
-                    cg_iters: int = 64, grad_clamp: float = 1.0):
+                    cg_iters: int = 64, grad_clamp: float = 1.0,
+                    ray_chunk: int = -1):
     """Build (init_state, step) for one LOD pass.
 
     optimizer: 'sgd' — Nesterov-momentum SGD, the reference's exact dynamics
@@ -112,13 +113,15 @@ def make_train_step(intersect_fn: Callable, weights: LossWeights,
                 m = mesh.with_vertices(state["init_v"] + p)
                 return total_loss(m, views, ray_view_idx, silh_view_idx,
                                   intersect_fn, w_ray, resy, resx,
-                                  silhouette_budget, collect_evidence=True)
+                                  silhouette_budget, collect_evidence=True,
+                                  ray_chunk=ray_chunk)
 
             def reg_fn(p):
                 m = mesh.with_vertices(state["init_v"] + p)
                 return total_loss(m, views, ray_view_idx, silh_view_idx,
                                   intersect_fn, w_reg, resy, resx,
-                                  silhouette_budget)
+                                  silhouette_budget,
+                                  ray_chunk=ray_chunk)
 
             (l_ray, aux), g_ray = jax.value_and_grad(ray_fn, has_aux=True)(
                 state["params"])
@@ -153,7 +156,8 @@ def make_train_step(intersect_fn: Callable, weights: LossWeights,
                 m = mesh.with_vertices(vert)
                 return total_loss(m, views, ray_view_idx, silh_view_idx,
                                   intersect_fn, weights, resy, resx,
-                                  silhouette_budget)
+                                  silhouette_budget,
+                                  ray_chunk=ray_chunk)
 
             (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
                 state["params"])
@@ -309,7 +313,8 @@ def optimize(
                 intersect_fn, weights, data.resy, data.resx, budget,
                 momentum=hp.momentum, optimizer=hp.optimizer,
                 precond=hp.precond, precond_lambda=hp.precond_lambda,
-                cg_iters=hp.cg_iters, grad_clamp=hp.grad_clamp)
+                cg_iters=hp.cg_iters, grad_clamp=hp.grad_clamp,
+                ray_chunk=hp.diff_ray_chunk)
         init_state, step, final_vertices = steps[budget]
 
         # Fresh optimizer state each pass (optim.py:164-171).

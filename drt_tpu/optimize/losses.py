@@ -40,7 +40,7 @@ class LossWeights(NamedTuple):
 
 def ray_loss(mesh, view, intersect_fn: Callable, ior: float,
              ext_ior: float, collect_evidence: bool = False,
-             huber: float = 0.0) -> jnp.ndarray:
+             huber: float = 0.0, ray_chunk: int = -1) -> jnp.ndarray:
     """One-view refraction loss (reference optim.py:91-108).
 
     collect_evidence=True also returns, in the stats dict under
@@ -58,29 +58,48 @@ def ray_loss(mesh, view, intersect_fn: Callable, ior: float,
     mesh OFF the true surface (measured: full-batch H1 flow diverges
     H 0.05 -> 0.23 from near-GT without this). Huber caps each ray's
     influence at `huber` while staying exactly L2 below it.
-    huber=0 is the reference's plain L2 (optim.py:104-107)."""
+    huber=0 is the reference's plain L2 (optim.py:104-107).
+
+    ray_chunk: process the ray batch in sequential chunks of this size with
+    rematerialization (render/chunked.py), so per-ray intermediates never
+    exist for more than one chunk — the memory scalability the BASELINE
+    config-5 tiger workload (8.3M rays) needs. -1 = auto policy (chunk only
+    batches larger than a full Redmi view), 0 = never chunk."""
+    from drt_tpu.render.chunked import auto_ray_chunk, chunked_sum
+
     screen_pixel, valid, _mask, origin, ray_dir, _cam = view
-    res = render_transparent(origin, ray_dir, mesh, intersect_fn, ior, ext_ior)
-    # Target direction: from the (detached) exit origin to the matted screen
-    # point (optim.py:100-102).
-    target = screen_pixel - jax.lax.stop_gradient(res.origin)
-    target = safe_normalize(target)
-    diff = res.direction - target
-    w = valid & res.valid
-    m = w[:, None]
-    stats = dict(res.stats)
-    if collect_evidence:
-        ev = jnp.zeros(mesh.vertices.shape[:1], jnp.float32)
-        wf = w.astype(jnp.float32)[:, None]
-        for tri in res.tris:
-            ev = ev.at[mesh.faces[tri]].add(
-                jnp.broadcast_to(wf, (tri.shape[0], 3)))
-        stats["vertex_evidence"] = ev
-    s = jnp.sum(jnp.where(m, diff * diff, 0.0), axis=1)
-    if huber:
-        r = jnp.sqrt(jnp.maximum(s, 1e-24))
-        s = jnp.where(r <= huber, s, 2.0 * huber * r - huber * huber)
-    return jnp.sum(jnp.where(w, s, 0.0)), stats
+    if ray_chunk < 0:
+        ray_chunk = auto_ray_chunk(origin.shape[0])
+
+    def body(screen_pixel, valid, origin, ray_dir):
+        # lane_mask=valid: matting-invalid pixels (and the chunked path's
+        # padding lanes, padded valid=False) start inactive — identical loss
+        # and gradient (they were masked at the loss anyway), clean stats.
+        res = render_transparent(origin, ray_dir, mesh, intersect_fn, ior,
+                                 ext_ior, lane_mask=valid)
+        # Target direction: from the (detached) exit origin to the matted
+        # screen point (optim.py:100-102).
+        target = screen_pixel - jax.lax.stop_gradient(res.origin)
+        target = safe_normalize(target)
+        diff = res.direction - target
+        w = valid & res.valid
+        m = w[:, None]
+        stats = dict(res.stats)
+        if collect_evidence:
+            ev = jnp.zeros(mesh.vertices.shape[:1], jnp.float32)
+            wf = w.astype(jnp.float32)[:, None]
+            for tri in res.tris:
+                ev = ev.at[mesh.faces[tri]].add(
+                    jnp.broadcast_to(wf, (tri.shape[0], 3)))
+            stats["vertex_evidence"] = ev
+        s = jnp.sum(jnp.where(m, diff * diff, 0.0), axis=1)
+        if huber:
+            r = jnp.sqrt(jnp.maximum(s, 1e-24))
+            s = jnp.where(r <= huber, s, 2.0 * huber * r - huber * huber)
+        return jnp.sum(jnp.where(w, s, 0.0)), stats
+
+    return chunked_sum(body, (screen_pixel, valid, origin, ray_dir),
+                       ray_chunk, pad_values=(0.0, False, 0.0, 1.0))
 
 
 def silhouette_loss(mesh, view, intersect_fn: Callable, budget: int,
@@ -126,7 +145,8 @@ def smooth_loss(mesh) -> jnp.ndarray:
 
 def total_loss(mesh, views, ray_view_idx, silh_view_idx, intersect_fn,
                weights: LossWeights, resy: int, resx: int,
-               silhouette_budget: int, collect_evidence: bool = False):
+               silhouette_budget: int, collect_evidence: bool = False,
+               ray_chunk: int = -1):
     """Weighted sum (reference all_loss, optim.py:110-130). silh_view_idx is
     a static-length [S] array of view indices (the reference uses 8).
     ray_view_idx may be a scalar (reference parity: 1 refraction view per
@@ -140,7 +160,7 @@ def total_loss(mesh, views, ray_view_idx, silh_view_idx, intersect_fn,
             return ray_loss(mesh, views.take(idx), intersect_fn,
                             weights.ior, weights.ext_ior,
                             collect_evidence=collect_evidence,
-                            huber=weights.huber)
+                            huber=weights.huber, ray_chunk=ray_chunk)
 
         rls, stats = jax.lax.map(one_ray, ray_view_idx)
         rl = jnp.mean(rls)

@@ -19,7 +19,7 @@ from typing import Callable, NamedTuple
 
 import jax.numpy as jnp
 
-from drt_tpu.geometry.mt import moller_trumbore
+from drt_tpu.geometry.mt import moller_trumbore_soa
 from drt_tpu.geometry.vec import dot3, fresnel_dielectric, refract
 
 
@@ -87,8 +87,18 @@ def _bounce(origin, direction, active, mesh, intersect_fn, int_ior, ext_ior,
                         mesh.face_valid)
     hit = hits.hit
     safe_id = jnp.where(hit, hits.tri_id, 0)
-    tri = mesh.vertices[mesh.faces[safe_id]]          # differentiable gather
-    _u, _v, t, n = moller_trumbore(origin, direction, tri)
+    # Differentiable per-ray triangle gather, done component-wise: a single
+    # [N,3,3] gather materializes with the xyz axes in lanes — 42.7x padded
+    # (an 11.9 GB HLO temp at 8.3M rays, the BASELINE config-5 OOM). Nine
+    # [N]-from-[F] component gathers keep every buffer lane-dense; the
+    # [F,3,3] soup gather is mesh-sized and cheap.
+    soup = mesh.vertices[mesh.faces]                  # [F,3,3]
+    v0, v1, v2 = (tuple(soup[:, k, j][safe_id] for j in range(3))
+                  for k in range(3))
+    o3 = tuple(origin[..., j] for j in range(3))
+    d3 = tuple(direction[..., j] for j in range(3))
+    _u, _v, t, n3 = moller_trumbore_soa(o3, d3, v0, v1, v2)
+    n = jnp.stack(n3, axis=-1)
     t = jnp.where(hit, t, 1.0)                        # finite on masked lanes
     refracted, new_o, new_d = refract_ray(
         origin, direction, t, n, int_ior, ext_ior, offset_eps, compat=compat)
@@ -100,12 +110,17 @@ def _bounce(origin, direction, active, mesh, intersect_fn, int_ior, ext_ior,
 
 def trace2(origin, direction, mesh, intersect_fn: Callable,
            int_ior: float, ext_ior: float = 1.00029,
-           offset_eps: float = 1e-5, compat: bool = False):
+           offset_eps: float = 1e-5, compat: bool = False,
+           lane_mask=None):
     """Exactly two refraction bounces (reference trace2, DiffRender.py:537-546).
     Returns (origin, direction, active): lanes that refracted at both bounces.
     compat=True: reference-exact chain (see refract_ray).
+    lane_mask [N] bool: lanes that start inactive (padding lanes of the
+    chunked path, matting-invalid pixels) — they trace garbage-but-finite
+    values, produce valid=False, and are excluded from the stats counters.
     """
-    active = jnp.ones(origin.shape[:-1], dtype=bool)
+    active = (jnp.ones(origin.shape[:-1], dtype=bool)
+              if lane_mask is None else lane_mask)
     o, d = origin, direction
     stats = {}
     tris = []
@@ -124,14 +139,14 @@ def trace2(origin, direction, mesh, intersect_fn: Callable,
 def render_transparent(origin, direction, mesh, intersect_fn: Callable,
                        int_ior: float, ext_ior: float = 1.00029,
                        offset_eps: float = 1e-5,
-                       compat: bool = False) -> TraceResult:
+                       compat: bool = False, lane_mask=None) -> TraceResult:
     """Trace 2 bounces, then require the exit ray to escape (not re-hit the
     mesh) — the reference's third occlusion query (DiffRender.py:420-432).
     Dense per-pixel output; invalid lanes are zeroed like the reference's
     scatter into zeros."""
     o, d, active, stats, tris = trace2(origin, direction, mesh, intersect_fn,
                                        int_ior, ext_ior, offset_eps,
-                                       compat=compat)
+                                       compat=compat, lane_mask=lane_mask)
     hits = intersect_fn(o, d, mesh.vertices, mesh.faces, mesh.face_valid)
     valid = active & jnp.logical_not(hits.hit)
     stats["occluded_exit"] = jnp.sum(active & hits.hit)
