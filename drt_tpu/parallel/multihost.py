@@ -35,10 +35,20 @@ def init_multihost(coordinator_address: Optional[str] = None,
 def shard_rays_for_host(n_rays: int) -> slice:
     """The contiguous ray range this host should load (per-host data
     loading: each host materializes only its shard of the per-pixel
-    arrays before device_put with the global sharding)."""
+    arrays before device_put with the global sharding).
+
+    Requires n_rays to divide evenly over the processes — the same
+    requirement NamedSharding's even-shard placement and shard_map impose
+    downstream. Pad the batch first (parallel.sharding.pad_views_to_multiple)
+    rather than loading uneven host shards that placement would reject."""
     import jax
 
-    per = n_rays // jax.process_count()
+    n_proc = jax.process_count()
+    if n_rays % n_proc:
+        raise ValueError(
+            f"n_rays={n_rays} does not divide over {n_proc} processes; "
+            "pad the ray batch to a multiple first "
+            "(drt_tpu.parallel.pad_views_to_multiple)")
+    per = n_rays // n_proc
     i = jax.process_index()
-    return slice(i * per, n_rays if i == jax.process_count() - 1
-                 else (i + 1) * per)
+    return slice(i * per, (i + 1) * per)

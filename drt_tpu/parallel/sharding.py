@@ -66,6 +66,37 @@ def shard_views(mesh: Mesh, views: ViewBatch) -> ViewBatch:
     )
 
 
+def pad_views_to_multiple(views: ViewBatch, multiple: int) -> ViewBatch:
+    """Pad the per-pixel ray axis of a ViewBatch to a multiple of `multiple`
+    so NamedSharding's even-shard placement (and shard_map's divisibility
+    requirement) accepts it.
+
+    Padding lanes replicate the view's last real ray (numerically benign —
+    no zero directions) with `valid=False`, so every loss masks them out:
+    ray_loss weights by `valid & res.valid`, and the silhouette/mask losses
+    never read per-pixel ray arrays. The padded batch therefore produces the
+    same loss and gradient as the unpadded one (tests/test_parallel.py)."""
+    n = views.ray_dir.shape[1]
+    pad = (-n) % multiple
+    if pad == 0:
+        return views
+
+    def pad_rays(x, fill_last: bool) -> jnp.ndarray:
+        if x.ndim < 2 or x.shape[1] != n:
+            return x                      # compact [V,1,3] origins, cameras
+        tail = jnp.repeat(x[:, -1:], pad, axis=1)
+        if not fill_last:                 # validity: padding lanes are False
+            tail = jnp.zeros_like(tail)
+        return jnp.concatenate([x, tail], axis=1)
+
+    return views._replace(
+        screen_pixel=pad_rays(views.screen_pixel, True),
+        valid=pad_rays(views.valid, False),
+        origin=pad_rays(views.origin, True),
+        ray_dir=pad_rays(views.ray_dir, True),
+    )
+
+
 def shard_mapped_intersect(intersect_fn: Callable, mesh: Mesh) -> Callable:
     """Wrap a hit-oracle backend in shard_map over the 'rays' axis.
 
