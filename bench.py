@@ -219,6 +219,24 @@ def bench_config(name, ply_path, resy, resx, iters, backend="auto",
         row["hbm_bw_pct"] = round(100 * nbytes / dt_step / peak_bw, 1)
         row["oracle_mxu_mfu_pct"] = round(
             100 * oracle_mxu_flops / dt_oracle / peak_flops, 2)
+        # Speed-of-light anchor (VERDICT r2 item 9): an external, algorithm-
+        # independent lower bound on step time, so "fast" stops being
+        # relative to this project's own brute baseline. Derivation in
+        # BASELINE.md "Speed-of-light anchor": (a) bytes that MUST cross HBM
+        # at least once under perfect fusion + a fully cached mesh — ray
+        # dirs 12N + screen targets 12N in, vertex grads 12V out, mesh
+        # (verts+faces) read once; (b) fundamental MT+refraction flops — one
+        # exact ray-triangle test per oracle query (3 queries) + 2
+        # refractions, forward ~500 flops/ray, backward ~2x — at the f32
+        # MXU peak (bf16 peak / 2). SOL = max of the two.
+        Vn, Fn = ms.num_vertices, ms.num_faces
+        sol_bytes = 24 * n_rays + 12 * Vn + 12 * Fn + 12 * Vn
+        sol_flops = n_rays * 1500.0
+        sol_s = max(sol_bytes / peak_bw, sol_flops / (peak_flops / 2))
+        row["sol_ms"] = round(sol_s * 1e3, 3)
+        row["sol_bound"] = ("bytes" if sol_bytes / peak_bw
+                            >= sol_flops / (peak_flops / 2) else "flops")
+        row["sol_pct"] = round(100 * sol_s / dt_step, 2)
     log(f"  {json.dumps(row)}")
     return row
 
