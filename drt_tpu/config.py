@@ -68,15 +68,29 @@ class HyperParams:
                                  # full Redmi view), 0 = never chunk
     seed: int = 0
     checkpoint_every_pass: bool = True
-    no_coarsen: bool = False     # clamp the LOD remesh target to the init
-                                 # mesh's own mean edge length: a space-carved
-                                 # init carries finer detail than the
-                                 # reference's crude hulls, and the schedule's
-                                 # early coarse passes can destroy more
-                                 # accuracy than optimization recovers at low
-                                 # capture res (hand quick: H 1.24 -> 1.59 at
-                                 # the first len-4 remesh, reports/
-                                 # suite_r2_8obj_quick.md)
+    no_coarsen: bool = False     # back-compat alias for
+                                 # coarsen_policy="clamp"
+    coarsen_policy: str = "schedule"
+                                 # What to do while the LOD schedule's target
+                                 # edge length is COARSER than the init
+                                 # mesh's own mean edge length (a space-
+                                 # carved init carries finer detail than the
+                                 # reference's crude hulls; the early coarse
+                                 # passes can destroy more accuracy than
+                                 # optimization recovers at low capture res —
+                                 # hand quick: H 1.24 -> 1.59 at the first
+                                 # len-4 remesh, reports/suite_r2_8obj_quick.md):
+                                 #   "schedule": reference parity — always
+                                 #     remesh at the scheduled target
+                                 #   "clamp": remesh, but never above the
+                                 #     init's mean edge length
+                                 #   "skip": do not remesh at all until the
+                                 #     scheduled target drops below the
+                                 #     init's mean edge length (keeps the
+                                 #     carved topology bit-exact through the
+                                 #     early passes; even a clamped remesh
+                                 #     resamples the surface and loses
+                                 #     detail)
 
     def replace(self, **kw) -> "HyperParams":
         return dataclasses.replace(self, **kw)
