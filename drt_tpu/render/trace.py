@@ -22,6 +22,12 @@ import jax.numpy as jnp
 from drt_tpu.geometry.mt import moller_trumbore_soa
 from drt_tpu.geometry.vec import dot3, fresnel_dielectric, refract
 
+# Batch size above which _bounce switches from the fast AoS triangle gather
+# to lane-dense component gathers (see _bounce). The chunked path
+# (render/chunked.py) keeps per-chunk batches at AUTO_CHUNK=2^20, so in
+# practice only an *unchunked* call beyond a full 1920x1080 view crosses it.
+_AOS_GATHER_MAX = 2 ** 21
+
 
 class TraceResult(NamedTuple):
     origin: jnp.ndarray     # [N,3] exit-ray origin (zeros where invalid)
@@ -87,18 +93,30 @@ def _bounce(origin, direction, active, mesh, intersect_fn, int_ior, ext_ior,
                         mesh.face_valid)
     hit = hits.hit
     safe_id = jnp.where(hit, hits.tri_id, 0)
-    # Differentiable per-ray triangle gather, done component-wise: a single
-    # [N,3,3] gather materializes with the xyz axes in lanes — 42.7x padded
-    # (an 11.9 GB HLO temp at 8.3M rays, the BASELINE config-5 OOM). Nine
-    # [N]-from-[F] component gathers keep every buffer lane-dense; the
-    # [F,3,3] soup gather is mesh-sized and cheap.
-    soup = mesh.vertices[mesh.faces]                  # [F,3,3]
-    v0, v1, v2 = (tuple(soup[:, k, j][safe_id] for j in range(3))
-                  for k in range(3))
-    o3 = tuple(origin[..., j] for j in range(3))
-    d3 = tuple(direction[..., j] for j in range(3))
-    _u, _v, t, n3 = moller_trumbore_soa(o3, d3, v0, v1, v2)
-    n = jnp.stack(n3, axis=-1)
+    n_rays = origin.shape[0]
+    if n_rays <= _AOS_GATHER_MAX:
+        # Fast path: one [N,3,3] AoS triangle gather + vectorized MT. The
+        # gather's HLO temp is lane-padded (~42.7x of [3N,3]), but at the
+        # chunked path's <=1M-ray chunks (render/chunked.py AUTO_CHUNK) and
+        # at full unchunked views (<=2.07M rays) that is <=3 GB — it fits,
+        # and this path measures ~2x faster per step than the SoA variant
+        # (round-3 BENCH_DETAIL regression: mouse 256x256 17.7->34.8 ms).
+        tri = mesh.vertices[mesh.faces[safe_id]]      # [N,3,3] diff. gather
+        from drt_tpu.geometry.mt import moller_trumbore
+        _u, _v, t, n = moller_trumbore(origin, direction, tri)
+    else:
+        # Memory path for huge unchunked batches: nine [N]-from-[F]
+        # component gathers keep every buffer lane-dense — the single AoS
+        # gather would materialize an 11.9 GB padded temp at 8.3M rays
+        # (the BASELINE config-5 OOM); the [F,3,3] soup gather is
+        # mesh-sized and cheap.
+        soup = mesh.vertices[mesh.faces]              # [F,3,3]
+        v0, v1, v2 = (tuple(soup[:, k, j][safe_id] for j in range(3))
+                      for k in range(3))
+        o3 = tuple(origin[..., j] for j in range(3))
+        d3 = tuple(direction[..., j] for j in range(3))
+        _u, _v, t, n3 = moller_trumbore_soa(o3, d3, v0, v1, v2)
+        n = jnp.stack(n3, axis=-1)
     t = jnp.where(hit, t, 1.0)                        # finite on masked lanes
     refracted, new_o, new_d = refract_ray(
         origin, direction, t, n, int_ior, ext_ior, offset_eps, compat=compat)
