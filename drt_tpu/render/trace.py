@@ -19,7 +19,7 @@ from typing import Callable, NamedTuple
 
 import jax.numpy as jnp
 
-from drt_tpu.geometry.mt import moller_trumbore_soa
+from drt_tpu.geometry.mt import moller_trumbore, moller_trumbore_soa
 from drt_tpu.geometry.vec import dot3, fresnel_dielectric, refract
 
 # Batch size above which _bounce switches from the fast AoS triangle gather
@@ -27,6 +27,21 @@ from drt_tpu.geometry.vec import dot3, fresnel_dielectric, refract
 # (render/chunked.py) keeps per-chunk batches at AUTO_CHUNK=2^20, so in
 # practice only an *unchunked* call beyond a full 1920x1080 view crosses it.
 _AOS_GATHER_MAX = 2 ** 21
+
+# Under GSPMD ray sharding, origin.shape[0] at trace time is the GLOBAL
+# batch but each device materializes only its 1/n shard of the gather temp
+# that motivates _AOS_GATHER_MAX — so the effective per-device threshold is
+# _AOS_GATHER_MAX * n_shards. parallel/sharding.make_sharded_train_step sets
+# this before building (tracing) the sharded step; it is read at trace time.
+_RAY_SHARD_COUNT = 1
+
+
+def set_ray_shard_count(n: int) -> None:
+    """Declare how many ways the ray axis is sharded, so the AoS-gather
+    memory threshold scales to the per-device shard (ADVICE.md round 3).
+    Takes effect at the next trace; call before jit-compiling a step."""
+    global _RAY_SHARD_COUNT
+    _RAY_SHARD_COUNT = max(1, int(n))
 
 
 class TraceResult(NamedTuple):
@@ -94,7 +109,7 @@ def _bounce(origin, direction, active, mesh, intersect_fn, int_ior, ext_ior,
     hit = hits.hit
     safe_id = jnp.where(hit, hits.tri_id, 0)
     n_rays = origin.shape[0]
-    if n_rays <= _AOS_GATHER_MAX:
+    if n_rays <= _AOS_GATHER_MAX * _RAY_SHARD_COUNT:
         # Fast path: one [N,3,3] AoS triangle gather + vectorized MT. The
         # gather's HLO temp is lane-padded (~42.7x of [3N,3]), but at the
         # chunked path's <=1M-ray chunks (render/chunked.py AUTO_CHUNK) and
@@ -102,7 +117,6 @@ def _bounce(origin, direction, active, mesh, intersect_fn, int_ior, ext_ior,
         # and this path measures ~2x faster per step than the SoA variant
         # (round-3 BENCH_DETAIL regression: mouse 256x256 17.7->34.8 ms).
         tri = mesh.vertices[mesh.faces[safe_id]]      # [N,3,3] diff. gather
-        from drt_tpu.geometry.mt import moller_trumbore
         _u, _v, t, n = moller_trumbore(origin, direction, tri)
     else:
         # Memory path for huge unchunked batches: nine [N]-from-[F]

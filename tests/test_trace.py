@@ -164,3 +164,66 @@ class TestGradients:
                                        rtol=1e-4, atol=1e-8)
         finally:
             jax.config.update("jax_enable_x64", False)
+
+
+class TestSoAFallbackParity:
+    """The >_AOS_GATHER_MAX SoA gather branch of _bounce must match the AoS
+    fast path exactly — value AND gradient (ADVICE.md round 3: the branch
+    was otherwise unexercised by any test)."""
+
+    def _run(self, monkeypatch, aos_max):
+        from drt_tpu.render import trace as trace_mod
+        monkeypatch.setattr(trace_mod, "_AOS_GATHER_MAX", aos_max)
+        v, f = make_icosphere(subdivisions=2)
+        ms = build_mesh_state(v, f)
+        fn = get_intersect_fn("brute")
+        xs = np.linspace(-0.4, 0.95, 24)
+        o = jnp.array([[x, 0.05, -5.0] for x in xs])
+        d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), o.shape)
+
+        res = render_transparent(o, d, ms, fn, IOR, EXT)
+
+        def loss(verts):
+            m = ms.with_vertices(verts)
+            r = render_transparent(o, d, m, fn, IOR, EXT)
+            return jnp.sum(r.direction) + jnp.sum(r.origin)
+
+        g = jax.grad(loss)(ms.vertices)
+        return res, g
+
+    def test_soa_branch_matches_aos(self, monkeypatch):
+        res_fast, g_fast = self._run(monkeypatch, 2 ** 21)
+        res_soa, g_soa = self._run(monkeypatch, 4)   # force the SoA branch
+        np.testing.assert_array_equal(np.asarray(res_fast.valid),
+                                      np.asarray(res_soa.valid))
+        np.testing.assert_allclose(np.asarray(res_fast.origin),
+                                   np.asarray(res_soa.origin),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(res_fast.direction),
+                                   np.asarray(res_soa.direction),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_soa),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_shard_count_scales_threshold(self, monkeypatch):
+        """set_ray_shard_count(n) multiplies the AoS threshold: a batch of
+        24 rays with threshold 4 but 8 shards stays on the AoS path (the
+        branch choice is observable through the module flag trick below)."""
+        from drt_tpu.render import trace as trace_mod
+        calls = []
+        real_mt = trace_mod.moller_trumbore
+
+        def spy_mt(*a, **k):
+            calls.append("aos")
+            return real_mt(*a, **k)
+
+        monkeypatch.setattr(trace_mod, "moller_trumbore", spy_mt)
+        monkeypatch.setattr(trace_mod, "_AOS_GATHER_MAX", 4)
+        monkeypatch.setattr(trace_mod, "_RAY_SHARD_COUNT", 8)
+        v, f = make_icosphere(subdivisions=1)
+        ms = build_mesh_state(v, f)
+        fn = get_intersect_fn("brute")
+        o = jnp.zeros((24, 3)) + jnp.array([0.0, 0.0, -5.0])
+        d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), o.shape)
+        render_transparent(o, d, ms, fn, IOR, EXT)
+        assert calls  # 24 <= 4*8 -> AoS path taken
