@@ -56,13 +56,25 @@ def get_intersect_fn(backend: str = "auto", **kw) -> Callable:
     else:
         raise ValueError(f"unknown intersect backend: {backend}")
 
-    def wrapped(origins, dirs, vertices, faces, face_valid=None):
+    def wrapped(origins, dirs, vertices, faces, face_valid=None, *,
+                coherent: bool = True):
         # Detach ALL inputs: the oracle is non-differentiable by design
         # (the reference casts to float32 OptiX buffers, DiffRender.py:387-388)
         # and its internals (Pallas kernels) have no JVP rules.
+        #
+        # coherent=False declares the ray population spatially incoherent
+        # (post-refraction bounce/exit rays): the Pallas backend then uses
+        # the exact per-ray candidate prepass instead of the tile-frustum
+        # one, whose per-tile interval union explodes ~16x on divergent
+        # rays (round-4 profile: dog full view bounce-2 candidates 610k
+        # tile vs 56k ray — the whole round-3 streaming regression).
         sg = jax.lax.stop_gradient
+        kw2 = kw
+        if backend == "pallas" and not coherent:
+            kw2 = dict(kw)
+            kw2.setdefault("prepass", "ray")
         hits = fn(sg(origins), sg(dirs), sg(vertices), faces, face_valid,
-                  **kw)
+                  **kw2)
         return Hits(sg(hits.t), sg(hits.tri_id))
 
     return wrapped

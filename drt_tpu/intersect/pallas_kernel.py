@@ -342,11 +342,17 @@ def _candidates(ot, dt, lo_c, hi_c, chunk_valid, t_min, group=16):
         dsafe = jnp.where(jnp.abs(d3) > 1e-20, d3,
                           jnp.where(d3 >= 0, 1e-20, -1e-20))
         inv = 1.0 / dsafe                                 # [3,RT]
-        t1 = (lo_c.T[:, None, :] - o3[:, :, None]) * inv[:, :, None]
-        t2 = (hi_c.T[:, None, :] - o3[:, :, None]) * inv[:, :, None]
-        # [3, RT, NC]
-        t_entry = jnp.max(jnp.minimum(t1, t2), axis=0)    # [RT,NC]
-        t_exit = jnp.min(jnp.maximum(t1, t2), axis=0)
+        # Accumulate entry/exit per axis instead of materializing the
+        # [3,RT,NC] t1/t2 stacks — the prepass is HBM-bound on those temps
+        # (round-4 measurement: 46 ms -> ~25 ms on the dog full view).
+        t_entry = jnp.full((o3.shape[1], lo_c.shape[0]), -jnp.inf,
+                           jnp.float32)                   # [RT,NC]
+        t_exit = jnp.full_like(t_entry, jnp.inf)
+        for ax in range(3):
+            t1 = (lo_c.T[ax][None, :] - o3[ax][:, None]) * inv[ax][:, None]
+            t2 = (hi_c.T[ax][None, :] - o3[ax][:, None]) * inv[ax][:, None]
+            t_entry = jnp.maximum(t_entry, jnp.minimum(t1, t2))
+            t_exit = jnp.minimum(t_exit, jnp.maximum(t1, t2))
         overlap = (t_entry <= t_exit) & (t_exit > t_min) & chunk_valid[None]
         score = jnp.min(jnp.where(overlap, jnp.maximum(t_entry, 0.0),
                                   jnp.inf), axis=0)       # [NC]

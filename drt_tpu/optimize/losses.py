@@ -36,11 +36,14 @@ class LossWeights(NamedTuple):
     ext_ior: float = 1.00029
     bilinear_mask: bool = False   # see silhouette_loss
     huber: float = 0.0            # see ray_loss; 0 = reference-parity L2
+    compat: bool = False          # reference-exact refraction chain (see
+                                  # render/trace.refract_ray); use with f64
 
 
 def ray_loss(mesh, view, intersect_fn: Callable, ior: float,
              ext_ior: float, collect_evidence: bool = False,
-             huber: float = 0.0, ray_chunk: int = -1) -> jnp.ndarray:
+             huber: float = 0.0, ray_chunk: int = -1,
+             compat: bool = False) -> jnp.ndarray:
     """One-view refraction loss (reference optim.py:91-108).
 
     collect_evidence=True also returns, in the stats dict under
@@ -76,7 +79,7 @@ def ray_loss(mesh, view, intersect_fn: Callable, ior: float,
         # padding lanes, padded valid=False) start inactive — identical loss
         # and gradient (they were masked at the loss anyway), clean stats.
         res = render_transparent(origin, ray_dir, mesh, intersect_fn, ior,
-                                 ext_ior, lane_mask=valid)
+                                 ext_ior, lane_mask=valid, compat=compat)
         # Target direction: from the (detached) exit origin to the matted
         # screen point (optim.py:100-102).
         target = screen_pixel - jax.lax.stop_gradient(res.origin)
@@ -160,7 +163,8 @@ def total_loss(mesh, views, ray_view_idx, silh_view_idx, intersect_fn,
             return ray_loss(mesh, views.take(idx), intersect_fn,
                             weights.ior, weights.ext_ior,
                             collect_evidence=collect_evidence,
-                            huber=weights.huber, ray_chunk=ray_chunk)
+                            huber=weights.huber, ray_chunk=ray_chunk,
+                            compat=weights.compat)
 
         rls, stats = jax.lax.map(one_ray, ray_view_idx)
         rl = jnp.mean(rls)

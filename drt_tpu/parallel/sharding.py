@@ -112,12 +112,13 @@ def shard_mapped_intersect(intersect_fn: Callable, mesh: Mesh) -> Callable:
     """
     from drt_tpu.intersect.api import Hits
 
-    def sharded(origins, dirs, vertices, faces, face_valid=None):
+    def sharded(origins, dirs, vertices, faces, face_valid=None, *,
+                coherent: bool = True):
         if face_valid is None:
             face_valid = jnp.ones((faces.shape[0],), jnp.bool_)
 
         def local(o, d, v, f, fv):
-            return intersect_fn(o, d, v, f, fv)
+            return intersect_fn(o, d, v, f, fv, coherent=coherent)
 
         fn = jax.shard_map(
             local, mesh=mesh,

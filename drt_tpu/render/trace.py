@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from drt_tpu.geometry.mt import moller_trumbore, moller_trumbore_soa
@@ -92,7 +93,6 @@ def refract_ray(origin, direction, t, n, int_ior, ext_ior,
                       compat_cos_from_incident=compat)
     refracted = jnp.logical_not(tir)
 
-    import jax
     if compat:
         offset = jnp.asarray(offset_eps, wt.dtype)
     else:
@@ -102,10 +102,44 @@ def refract_ray(origin, direction, t, n, int_ior, ext_ior,
     return refracted, new_origin, wt
 
 
+def _accepts_coherent(fn) -> bool:
+    """True if `fn` takes a `coherent` keyword (the get_intersect_fn
+    wrappers do; bare backend functions and test doubles may not)."""
+    import inspect
+    try:
+        params = inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return False
+    return ("coherent" in params
+            or any(p.kind is inspect.Parameter.VAR_KEYWORD
+                   for p in params.values()))
+
+
+def _park_rays(origin, direction, active, mesh):
+    """Replace dead lanes' rays with a ray strictly outside the mesh AABB
+    pointing away from it, so they generate ZERO oracle work (candidate
+    lists, MT tests) in later queries. The reference gets this for free by
+    compacting (Ray.select, DiffRender.py:540-544); with static lanes the
+    dead rays otherwise re-trace their stale path through the whole mesh
+    every subsequent query (~93% of a full dog view after bounce 1)."""
+    v = jax.lax.stop_gradient(mesh.vertices)
+    vmin = jnp.min(v, axis=0)
+    vmax = jnp.max(v, axis=0)
+    park_o = vmin - (vmax - vmin) - 1.0
+    park_d = jnp.full((3,), -0.57735027, direction.dtype)  # away from box
+    m = active[..., None]
+    return (jnp.where(m, origin, park_o.astype(origin.dtype)),
+            jnp.where(m, direction, park_d))
+
+
 def _bounce(origin, direction, active, mesh, intersect_fn, int_ior, ext_ior,
-            offset_eps, compat=False):
-    hits = intersect_fn(origin, direction, mesh.vertices, mesh.faces,
-                        mesh.face_valid)
+            offset_eps, compat=False, coherent=True, pass_hint=False):
+    if pass_hint:
+        hits = intersect_fn(origin, direction, mesh.vertices, mesh.faces,
+                            mesh.face_valid, coherent=coherent)
+    else:
+        hits = intersect_fn(origin, direction, mesh.vertices, mesh.faces,
+                            mesh.face_valid)
     hit = hits.hit
     safe_id = jnp.where(hit, hits.tri_id, 0)
     n_rays = origin.shape[0]
@@ -136,8 +170,12 @@ def _bounce(origin, direction, active, mesh, intersect_fn, int_ior, ext_ior,
         origin, direction, t, n, int_ior, ext_ior, offset_eps, compat=compat)
     active = active & hit & refracted
     m = active[..., None]
-    return (jnp.where(m, new_o, origin), jnp.where(m, new_d, direction),
-            active, jnp.where(active, safe_id, 0))
+    # Dead lanes get PARKED rays (outside the AABB, pointing away) instead
+    # of their stale previous ray, so subsequent oracle queries spend zero
+    # candidate/MT work on them (see _park_rays).
+    o_out, d_out = _park_rays(jnp.where(m, new_o, origin),
+                              jnp.where(m, new_d, direction), active, mesh)
+    return o_out, d_out, active, jnp.where(active, safe_id, 0)
 
 
 def trace2(origin, direction, mesh, intersect_fn: Callable,
@@ -156,11 +194,16 @@ def trace2(origin, direction, mesh, intersect_fn: Callable,
     o, d = origin, direction
     stats = {}
     tris = []
+    pass_hint = _accepts_coherent(intersect_fn)
     for b in range(2):
         prev = jnp.sum(active)
+        # Bounce 1 sees camera-pixel rays (spatially coherent tiles);
+        # bounce 2 sees refracted interior rays (incoherent) — the oracle's
+        # candidate prepass strategy differs (intersect/api.py).
         o, d, active, tri = _bounce(o, d, active, mesh, intersect_fn,
                                     int_ior, ext_ior, offset_eps,
-                                    compat=compat)
+                                    compat=compat, coherent=(b == 0),
+                                    pass_hint=pass_hint)
         tris.append(tri)
         # survivors after this bounce; the drop is miss+TIR lanes
         stats[f"active_after_bounce{b + 1}"] = jnp.sum(active)
@@ -179,7 +222,11 @@ def render_transparent(origin, direction, mesh, intersect_fn: Callable,
     o, d, active, stats, tris = trace2(origin, direction, mesh, intersect_fn,
                                        int_ior, ext_ior, offset_eps,
                                        compat=compat, lane_mask=lane_mask)
-    hits = intersect_fn(o, d, mesh.vertices, mesh.faces, mesh.face_valid)
+    if _accepts_coherent(intersect_fn):
+        hits = intersect_fn(o, d, mesh.vertices, mesh.faces, mesh.face_valid,
+                            coherent=False)
+    else:
+        hits = intersect_fn(o, d, mesh.vertices, mesh.faces, mesh.face_valid)
     valid = active & jnp.logical_not(hits.hit)
     stats["occluded_exit"] = jnp.sum(active & hits.hit)
     stats["valid_rays"] = jnp.sum(valid)

@@ -78,9 +78,11 @@ def run_object(name, args):
                      huber=args.huber)
     ck = os.path.join(args.out_dir, "checkpoints", name)
     t0 = time.time()
+    run_info = {}
     mesh = optimize(hp, cap, v0, f0, remesh_fn="isotropic",
                     checkpoint_dir=ck, resume=args.resume,
-                    metrics=os.path.join(args.out_dir, f"{name}_metrics.jsonl"))
+                    metrics=os.path.join(args.out_dir, f"{name}_metrics.jsonl"),
+                    run_info=run_info)
     t_opt = time.time() - t0
 
     v, f = mesh.host_arrays()
@@ -107,6 +109,10 @@ def run_object(name, args):
         "final_hausdorff_rms": round(final_h.rms, 4),
         "pass_hausdorff_mean": traj,
         "V": len(v), "F": len(f),
+        # remesh-health counters (VERDICT r3 missing #3): the reference's
+        # meshlabserver succeeds every pass or dies (optim.py:51); any
+        # nonzero failures here means silent fixed-topology passes.
+        **run_info,
     }
 
 
