@@ -290,11 +290,15 @@ def main(full: bool = True):
     metric = ("rays/s fwd+bwd 2-bounce refraction (mouse_vh, "
               + ("full 1280x960 view" if full_row else "256x256 rays")
               + ", 1 chip)")
-    # vs_baseline stays on the 256x256 workload so rounds are comparable
+    # vs_baseline is computed from the SAME value it is paired with
+    # (VERDICT r3 weak #4: the r3 line paired the full-view value with the
+    # 256x256 row's ratio); the denominator is named explicitly.
     print(json.dumps({
         "metric": metric, "value": value, "unit": "rays/s",
-        "vs_baseline": round(head["rays_per_s_step"] / BASELINE_RAYS_PER_S,
-                             3),
+        "vs_baseline": round(value / BASELINE_RAYS_PER_S, 3),
+        "baseline": "round-1 brute-force oracle, mouse 256x256, "
+                    f"{BASELINE_RAYS_PER_S:.0f} rays/s",
+        "rays_per_s_256": head["rays_per_s_step"],
     }))
 
 

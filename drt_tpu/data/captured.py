@@ -17,30 +17,35 @@ from __future__ import annotations
 
 import numpy as np
 
-from drt_tpu.config import POINTGRAY_OBJECTS, POINTGRAY_RES, REDMI_OBJECTS, REDMI_RES
+from drt_tpu.config import POINTGRAY_OBJECTS, REDMI_OBJECTS
 from drt_tpu.data.masks import process_mask
 from drt_tpu.data.views import CaptureData, stack_views
 
 
 def load_h5_capture(path: str, name: str, num_view_used: int = 72,
-                    num_views: int = 72, resy: int | None = None,
+                    num_views: int | None = None, resy: int | None = None,
                     resx: int | None = None) -> CaptureData:
-    """Load a capture in the reference schema. resy/resx default to the
-    rig the object name maps to (optim.py:133-134); pass them explicitly
-    for non-standard (e.g. synthetic test) resolutions."""
+    """Load a capture in the reference schema. The object name selects the
+    rig (optim.py:133-134): Pointgray captures carry per-pixel rays, Redmi
+    rays are synthesized from K,R (captured_data.py:149). num_views and
+    resy/resx default to what the FILE contains (cam_proj count, mask
+    shape), so reduced-resolution or reduced-view captures load through
+    the same path as full rig captures."""
     import h5py
 
     if name in POINTGRAY_OBJECTS:
-        default_res, has_rays = POINTGRAY_RES, True
+        has_rays = True
     elif name in REDMI_OBJECTS:
-        default_res, has_rays = REDMI_RES, False
+        has_rays = False
     else:
         raise ValueError(f"unknown object {name!r}")
-    resy = resy if resy is not None else default_res[0]
-    resx = resx if resx is not None else default_res[1]
 
     views = []
     with h5py.File(path, "r") as h5:
+        if num_views is None:
+            num_views = int(h5["cam_proj"].shape[0])
+        if resy is None or resx is None:
+            resy, resx = (int(s) for s in h5["mask"].shape[1:3])
         K = np.asarray(h5["cam_k"][:])
         for i in range(num_views):
             R = np.asarray(h5["cam_proj"][i])
@@ -64,7 +69,8 @@ def load_h5_capture(path: str, name: str, num_view_used: int = 72,
                               R=R, K=K))
 
     return CaptureData(name=name, resy=resy, resx=resx, num_views=num_views,
-                       views=stack_views(views), num_view_used=num_view_used)
+                       views=stack_views(views),
+                       num_view_used=min(num_view_used, num_views))
 
 
 def save_h5_capture(cap: CaptureData, path: str) -> None:

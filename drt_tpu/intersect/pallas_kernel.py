@@ -74,9 +74,21 @@ def _tuning_table():
         # older tables recorded only the logical count (close enough in
         # log-space for regime selection).
         k = int(r.get("faces_padded", r["faces"]))
-        if k not in best or r["oracle_ms"] < best[k]["oracle_ms"]:
-            best[k] = r
-    return tuple(sorted(best.items()))
+        # Rank by the full-forward time when the sweep measured it (the
+        # tuned config serves the incoherent bounce/exit queries too, which
+        # the primary-ray oracle time alone cannot see); fwd-measured rows
+        # beat oracle-only rows at the same key. Rows faster than 1000
+        # Mrays/s are dispatch-timing artifacts (observed on the first
+        # swept config), not measurements — never rank by them.
+        if "fwd_ms" in r:
+            score = (0, r["fwd_ms"])
+        elif r.get("mrays_per_s", 0) <= 1000:
+            score = (1, r["oracle_ms"])
+        else:
+            continue
+        if k not in best or score < best[k][0]:
+            best[k] = (score, r)
+    return tuple(sorted((k, r) for k, (s, r) in best.items()))
 
 
 def tuned_params(num_faces: int) -> dict:

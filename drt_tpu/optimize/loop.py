@@ -287,19 +287,30 @@ def optimize(
         run_info.update(remesh_health)
     t_start = time.time()
 
+    # Coarsening policy while the scheduled target is coarser than the
+    # init's own mean edge length (config.py coarsen_policy docs):
+    # "schedule" = reference parity, "clamp" = never above init_len,
+    # "skip" = no remesh at all until the schedule drops below init_len.
+    policy = "clamp" if hp.no_coarsen else hp.coarsen_policy
+    if policy not in ("schedule", "clamp", "skip"):
+        raise ValueError(f"unknown coarsen_policy {policy!r}")
+
     for i_pass in range(start_pass, hp.num_passes):
         remesh_len = interp_reciprocal(hp.start_len, hp.end_len, i_pass,
                                        hp.num_passes)
-        if hp.no_coarsen:
+        skip_remesh = policy == "skip" and remesh_len > init_len
+        if policy == "clamp":
             remesh_len = min(remesh_len, init_len)
         if hp.lr_schedule == "len":
             lr = hp.start_lr * remesh_len / hp.start_len
         else:
             lr = interp_reciprocal(hp.start_lr, hp.lr_decay * hp.start_lr,
                                    i_pass, hp.num_passes)
-        log_fn(f"pass {i_pass}: remesh_len {remesh_len:g} lr {lr:g}")
+        log_fn(f"pass {i_pass}: remesh_len {remesh_len:g} lr {lr:g}"
+               + (" (remesh skipped: coarser than init)" if skip_remesh
+                  else ""))
 
-        if remesh_fn is not None:
+        if remesh_fn is not None and not skip_remesh:
             v_np, f_np = mesh.host_arrays()
             # Optimizer-roughened geometry can occasionally drive a collapse
             # cascade that breaks watertightness (observed on long runs).

@@ -73,6 +73,7 @@ def run_object(name, args):
                      precond_lambda=args.lam, start_lr=args.lr,
                      lr_schedule=args.lr_schedule,
                      no_coarsen=args.no_coarsen,
+                     coarsen_policy=args.coarsen_policy,
                      ray_views_per_iter=args.rvpi,
                      ray_w=args.ray_w, sm_w=args.sm_w, vh_w=args.vh_w,
                      huber=args.huber)
@@ -103,6 +104,7 @@ def run_object(name, args):
         "init": args.init, "optimizer": args.optimizer,
         "precond": args.precond, "lr_schedule": args.lr_schedule,
         "no_coarsen": args.no_coarsen,
+        "coarsen_policy": args.coarsen_policy,
         "synth_s": round(t_synth, 1), "optimize_s": round(t_opt, 1),
         "init_hausdorff_mean": round(init_h.mean, 4),
         "final_hausdorff_mean": round(final_h.mean, 4),
@@ -147,6 +149,10 @@ def main():
     ap.add_argument("--lr", type=float, default=0.1)
     ap.add_argument("--lr-schedule", default="reciprocal",
                     choices=["reciprocal", "len"])
+    ap.add_argument("--coarsen-policy", default="schedule",
+                    choices=["schedule", "clamp", "skip"],
+                    help="remesh policy while the LOD target is coarser "
+                         "than the init's mean edge length (config.py)")
     ap.add_argument("--no-coarsen", action="store_true",
                     help="clamp the LOD remesh target to the init mesh's "
                          "mean edge length (never coarsen a carved init "

@@ -22,10 +22,44 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DATA = "/root/reference/data/"
 
 
+def midlod_meshes(targets=(20000, 45000, 90000)):
+    """Generate mid-LOD sweep meshes by remeshing dog_vh to the target face
+    counts (VERDICT r3 weak #6: the tuning table had nothing between 9k and
+    146k faces — exactly where the LOD suite spends most passes). Cached as
+    PLYs under reports/tuning_meshes/."""
+    import numpy as np
+    from drt_tpu.mesh import load_ply, save_ply
+    from drt_tpu.remesh import isotropic_remesh
+
+    outdir = "reports/tuning_meshes"
+    os.makedirs(outdir, exist_ok=True)
+    paths = []
+    v, f = load_ply(DATA + "dog_vh.ply")
+    tri = v[f]
+    L0 = float(np.mean(np.linalg.norm(tri - np.roll(tri, -1, axis=1),
+                                      axis=2)))
+    for F_target in targets:
+        path = os.path.join(outdir, f"dog_mid{F_target // 1000}k.ply")
+        if not os.path.exists(path):
+            # F scales ~ 1/len^2
+            L = L0 * (len(f) / F_target) ** 0.5
+            v2, f2 = isotropic_remesh(v, f, L)
+            save_ply(path, v2, f2)
+        paths.append(path)
+    return paths
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--meshes", nargs="*",
-                    default=["mouse_vh", "dog_vh", "monkey_vh"])
+                    default=["mouse_vh", "tiger_vh", "dog_vh", "monkey_vh"])
+    ap.add_argument("--midlod", action="store_true", default=True)
+    ap.add_argument("--no-midlod", dest="midlod", action="store_false")
+    ap.add_argument("--fwd-top", type=int, default=3,
+                    help="re-rank the top-N configs per mesh by timing the "
+                         "FULL forward trace (all three oracle queries with "
+                         "their coherence hints), not just the primary-ray "
+                         "oracle — the tuned config serves every query")
     ap.add_argument("--resy", type=int, default=960)
     ap.add_argument("--resx", type=int, default=1280)
     ap.add_argument("--ray-tiles", nargs="*", type=int,
@@ -46,28 +80,39 @@ def main():
     from drt_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
 
+    mesh_paths = [DATA + m + ".ply" for m in args.meshes]
+    if args.midlod:
+        mesh_paths += midlod_meshes()
+
     rows = []
-    for name in args.meshes:
+    for path in mesh_paths:
+        name = os.path.basename(path)[:-4]
         import numpy as np
-        v, f = load_ply(DATA + name + ".ply")
+        v, f = load_ply(path)
         ms = build_mesh_state(v, f)
         origin, ray_dir, _ = make_rays(v, args.resy, args.resx)
         n = origin.shape[0]
+        mesh_rows = []
         for rt in args.ray_tiles:
             for tc in args.tri_chunks:
               for pp in args.prepasses:
                 fn = jax.jit(functools.partial(
                     intersect_pallas, ray_tile=rt, tri_chunk=tc, prepass=pp))
                 try:
+                    def timed():
+                        t0 = time.perf_counter()
+                        for _ in range(args.iters):
+                            h = fn(origin, ray_dir, ms.vertices, ms.faces,
+                                   ms.face_valid)
+                        jax.block_until_ready(h.t)
+                        return (time.perf_counter() - t0) / args.iters, h
+
                     hits = fn(origin, ray_dir, ms.vertices, ms.faces,
                               ms.face_valid)
                     jax.block_until_ready(hits.t)
-                    t0 = time.perf_counter()
-                    for _ in range(args.iters):
-                        hits = fn(origin, ray_dir, ms.vertices, ms.faces,
-                                  ms.face_valid)
-                    jax.block_until_ready(hits.t)
-                    dt = (time.perf_counter() - t0) / args.iters
+                    dt, hits = timed()
+                    if n / dt > 1e9:   # dispatch artifact (first config on
+                        dt, hits = timed()   # a cold tunnel) — re-time
                     row = {"mesh": name, "faces": ms.num_faces,
                            # the lookup in tuned_params() sees the padded
                            # buffer size, not the logical count — record it
@@ -82,7 +127,42 @@ def main():
                     row = {"mesh": name, "ray_tile": rt, "tri_chunk": tc,
                            "prepass": pp, "error": repr(e)[:200]}
                 print(json.dumps(row), flush=True)
-                rows.append(row)
+                mesh_rows.append(row)
+
+        # Phase 2: re-rank the best primary-oracle configs by the FULL
+        # forward trace — bounce-2/exit queries run the per-ray prepass
+        # regardless of pp (the coherence hint, intersect/api.py), so the
+        # winning (rt, tc) must be good for those too.
+        import jax.numpy as jnp
+        from drt_tpu.render.trace import render_transparent
+        good = sorted((r for r in mesh_rows if "oracle_ms" in r),
+                      key=lambda r: r["oracle_ms"])[:args.fwd_top]
+        for row in good:
+            def make_fn(rt=row["ray_tile"], tc=row["tri_chunk"],
+                        pp=row["prepass"]):
+                def ifn(o, d, vert, fc, fv, coherent=True):
+                    return intersect_pallas(
+                        jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
+                        jax.lax.stop_gradient(vert), fc, fv, ray_tile=rt,
+                        tri_chunk=tc, prepass=(pp if coherent else "ray"))
+                return ifn
+
+            ifn = make_fn()
+            fwd = jax.jit(lambda vert: jnp.sum(render_transparent(
+                origin, ray_dir, ms.with_vertices(vert), ifn,
+                1.4723, 1.00029).direction))
+            try:
+                jax.block_until_ready(fwd(ms.vertices))
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    out = fwd(ms.vertices)
+                jax.block_until_ready(out)
+                row["fwd_ms"] = round((time.perf_counter() - t0)
+                                      / args.iters * 1e3, 2)
+            except Exception as e:
+                row["fwd_error"] = repr(e)[:200]
+            print(json.dumps(row), flush=True)
+        rows.extend(mesh_rows)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     json.dump(rows, open(args.out, "w"), indent=1)
 

@@ -147,3 +147,33 @@ def test_len_tracking_lr_schedule():
         assert abs(remesh_len - expect_len) < 1e-4
         assert abs(lr - 0.1 * expect_len / 12.0) < 1e-4
     assert lrs[0][1] == 0.1 and lrs[1][1] < 0.1
+
+
+def test_coarsen_policy_skip_preserves_init_topology():
+    """coarsen_policy='skip' (config.py): no remesh at all while the
+    scheduled target is coarser than the init's own mean edge length —
+    the carved topology survives the early passes bit-exact."""
+    gt_v, gt_f = make_icosphere(subdivisions=3, radius=RADIUS)
+    cap = synthesize_capture(gt_v, gt_f, name="sphere", num_views=6,
+                             resy=32, resx=32, ior=1.5, backend="brute",
+                             num_view_used=6)
+    v0, f0 = make_icosphere(subdivisions=3, radius=RADIUS)
+    # init mean edge length ~ 10; schedule 30 -> 24 stays coarser than it
+    hp = HyperParams(name="sphere", ior=1.5, num_passes=2, iters=5,
+                     ray_w=40.0, vh_w=0.0, sm_w=0.08,
+                     start_len=30.0, end_len=24.0,
+                     coarsen_policy="skip",
+                     backend="brute", silhouette_budget=256, num_view=6)
+    lines = []
+    out = optimize(hp, cap, v0, f0, remesh_fn="isotropic",
+                   log_fn=lines.append)
+    v_out, f_out = out.host_arrays()
+    assert len(f_out) == len(f0)           # topology untouched
+    assert any("remesh skipped" in s for s in lines)
+
+    # "schedule" (parity) DOES coarsen the same config
+    hp2 = hp.replace(coarsen_policy="schedule")
+    out2 = optimize(hp2, cap, v0, f0, remesh_fn="isotropic",
+                    log_fn=lambda s: None)
+    _, f_out2 = out2.host_arrays()
+    assert len(f_out2) < len(f0)
