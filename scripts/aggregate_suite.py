@@ -49,10 +49,11 @@ def main():
     # pass-0 count rather than counted via a sentinel (ADVICE.md round 2).
     lines = [
         "| object | res | views | schedule | init H | end-of-pass0 H "
-        "| final H | vs init | vs pass0 | wall-clock (s) |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "| final H | vs init | vs pass0 | remesh fail | wall-clock (s) |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     n_imp = n_imp0 = n_traj = 0
+    fail_total = fail_known = 0
     for r in merged:
         sched = f"{r['passes']}x{r['iters']}"
         traj = r.get("pass_hausdorff_mean")
@@ -65,14 +66,26 @@ def main():
             p0 = traj[0]
         else:
             imp0, p0 = "n/a", "-"
+        # remesh-health counters (VERDICT r3 missing #3); rows from runs
+        # predating the counters show "-"
+        if "remesh_failures" in r:
+            rf = f"{r['remesh_failures']}/{r['remesh_attempts']}"
+            fail_total += r["remesh_failures"]
+            fail_known += 1
+        else:
+            rf = "-"
         lines.append(
             f"| {r['object']} | {r['resx']}x{r['resy']} | {r['views']} "
             f"| {sched} | {r['init_hausdorff_mean']} | {p0} "
             f"| {r['final_hausdorff_mean']} | {'yes' if imp else 'NO'} "
-            f"| {imp0} | {r['optimize_s']} |")
+            f"| {imp0} | {rf} | {r['optimize_s']} |")
     lines.append("")
     lines.append(f"{n_imp}/{len(merged)} objects improved over their raw "
                  f"init; {n_imp0}/{n_traj} over their end-of-pass-0 state.")
+    if fail_known:
+        lines.append(f"Remesh failures: {fail_total} total across "
+                     f"{fail_known} instrumented runs (reference bar: 0 — "
+                     f"meshlabserver succeeds or dies, optim.py:51).")
     with open(args.out + ".md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print("\n".join(lines))

@@ -1,0 +1,116 @@
+"""Real-schema h5 end-to-end reconstructions (VERDICT r3 next-item 5).
+
+For one Pointgray object (mouse: per-pixel rays stored in the file) and one
+Redmi object (tiger: rays synthesized from K,R on load), this script:
+  1. synthesizes a quick capture of the scan mesh and writes it in the
+     EXACT reference schema (cam_proj/cam_k/screen_position/mask
+     [+ray_origin/ray_dir], captured_data.py:99-108,141-148);
+  2. drives `python -m drt_tpu.cli reconstruct --data file.h5` as a real
+     subprocess (load_h5_capture -> carve -> optimize -> export);
+  3. evaluates Hausdorff vs the scan GT and records the rows.
+
+Usage: python scripts/h5_e2e.py [--out-dir results_r4/h5] [--passes 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DATA = "/root/reference/data/"
+
+
+def run_one(name, args):
+    import numpy as np
+    from drt_tpu.config import POINTGRAY_OBJECTS, POINTGRAY_RES, REDMI_RES
+    from drt_tpu.data import synthesize_capture
+    from drt_tpu.data.captured import save_h5_capture
+    from drt_tpu.mesh import load_ply
+    from drt_tpu.remesh import hausdorff_distance
+
+    resy, resx = (POINTGRAY_RES if name in POINTGRAY_OBJECTS else REDMI_RES)
+    resy, resx = resy // 4, resx // 4
+    gt_v, gt_f = load_ply(f"{DATA}{name}_scan.ply")
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    h5_path = os.path.join(args.out_dir, f"{name}.h5")
+    if not os.path.exists(h5_path):
+        cap = synthesize_capture(
+            gt_v, gt_f, name=name, num_views=args.views, resy=resy,
+            resx=resx, ior=1.4723, num_view_used=args.views,
+            cache_path=os.path.join(args.out_dir, f"{name}_cap.npz"))
+        save_h5_capture(cap, h5_path)
+
+    t0 = time.time()
+    cmd = [sys.executable, "-m", "drt_tpu.cli", "reconstruct",
+           "--name", name, "--data", h5_path,
+           "--init", "carved", "--carve-res", str(args.carve_res),
+           "--passes", str(args.passes), "--iters", str(args.iters),
+           "--start-len", "4", "--end-len", "2",
+           "--num-view", str(args.views),
+           "--result-dir", args.out_dir,
+           "--checkpoint-dir", os.path.join(args.out_dir, "ck_" + name),
+           "--resume",
+           "--metrics", os.path.join(args.out_dir, f"{name}_metrics.jsonl")]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(cmd, env=env, cwd=REPO, text=True,
+                       capture_output=True, timeout=args.timeout)
+    sys.stderr.write(r.stdout[-3000:] + r.stderr[-3000:])
+    if r.returncode != 0:
+        return {"object": name, "error": f"cli rc={r.returncode}"}
+
+    v, f = load_ply(os.path.join(args.out_dir, f"{name}_recons.ply"))
+    h = hausdorff_distance(v, f, gt_v, gt_f)
+    # carved-init H for the improvement claim: recarve cheaply from cache
+    from drt_tpu.data.captured import load_h5_capture
+    from drt_tpu.data.carve import carved_visual_hull, rig_working_volume
+    data = load_h5_capture(h5_path, name)
+    lo, hi = rig_working_volume(data)
+    v0, f0 = carved_visual_hull(data, lo, hi, resolution=args.carve_res,
+                                target_len=4.0)
+    h0 = hausdorff_distance(v0, f0, gt_v, gt_f)
+    row = {"object": name, "rig": "pointgray" if name in POINTGRAY_OBJECTS
+           else "redmi", "resy": resy, "resx": resx, "views": args.views,
+           "passes": args.passes, "iters": args.iters,
+           "h5_schema": "reference captured_data.py:99-108",
+           "init_hausdorff_mean": round(float(h0.mean), 4),
+           "final_hausdorff_mean": round(float(h.mean), 4),
+           "improved": bool(h.mean < h0.mean),
+           "wall_s": round(time.time() - t0, 1), "V": len(v), "F": len(f)}
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--objects", nargs="*", default=["mouse", "tiger"])
+    ap.add_argument("--views", type=int, default=24)
+    ap.add_argument("--passes", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--carve-res", type=int, default=160)
+    ap.add_argument("--timeout", type=int, default=3600)
+    ap.add_argument("--out-dir", default="results_r4/h5")
+    ap.add_argument("--report", default="reports/h5_e2e_r4.json")
+    args = ap.parse_args()
+
+    rows = []
+    if os.path.exists(args.report):
+        rows = json.load(open(args.report))
+        done = {r["object"] for r in rows if r.get("improved")}
+        args.objects = [o for o in args.objects if o not in done]
+    for name in args.objects:
+        row = run_one(name, args)
+        rows = [r for r in rows if r["object"] != name] + [row]
+        print(json.dumps(row), flush=True)
+        os.makedirs(os.path.dirname(args.report), exist_ok=True)
+        json.dump(rows, open(args.report, "w"), indent=1)
+
+
+if __name__ == "__main__":
+    main()

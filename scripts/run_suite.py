@@ -33,8 +33,8 @@ def run_object(name, args):
     from drt_tpu.remesh import hausdorff_distance
 
     resy, resx = (POINTGRAY_RES if name in POINTGRAY_OBJECTS else REDMI_RES)
-    if args.quick:
-        resy, resx = resy // 4, resx // 4
+    div = 4 if args.quick else args.res_div
+    resy, resx = resy // div, resx // div
 
     gt_v, gt_f = load_ply(f"{DEFAULT_DATA_PATH}{name}_scan.ply")
 
@@ -135,6 +135,9 @@ def main():
                     help="Huber delta on per-ray residuals (0 = L2 parity)")
     ap.add_argument("--quick", action="store_true",
                     help="quarter resolution for smoke runs")
+    ap.add_argument("--res-div", type=int, default=1,
+                    help="divide the capture resolution by this factor "
+                         "(resolution-ablation runs; --quick forces 4)")
     ap.add_argument("--init", choices=["carved", "upstream"],
                     default="carved",
                     help="carved: space-carve the hull from the capture's "
