@@ -133,7 +133,15 @@ def silhouette_loss(mesh, view, intersect_fn: Callable, budget: int,
                   + wy * ((1 - wx) * m10 + wx * m11))
     else:
         picked = mask_img[samples.pixel[:, 1], samples.pixel[:, 0]]
-    per_edge = jnp.abs(picked - samples.output)
+    # |residual| with subgradient 0 at exactly-zero residual (torch's abs
+    # convention; jnp.abs uses +1 there). This matters: silhouette samples
+    # land on mask-boundary pixels whose soft value is EXACTLY the 0.5
+    # level (process_mask's transition band, captured_data.py:12-20), and
+    # an edge already on the boundary must contribute zero gradient — the
+    # jnp.abs convention pushes it off. Verified against the reference's
+    # own backward in tests/test_reference_parity.py.
+    diff = picked - samples.output
+    per_edge = jax.lax.stop_gradient(jnp.sign(diff)) * diff
     return jnp.sum(jnp.where(samples.valid, per_edge, 0.0)), samples.count
 
 

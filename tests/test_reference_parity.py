@@ -1,374 +1,370 @@
-"""TRUE reference parity: execute the reference's OWN code (VERDICT r3
-missing #1 / next-item 2).
+"""True reference-parity: drt_tpu vs the reference's OWN code (VERDICT r3
+missing #1). `tests/reference_harness.py` imports /root/reference's
+DiffRender/optim on CPU torch with optix+trimesh stubbed (the stub oracle
+delegates hit-finding to drt_tpu's brute backend, so both pipelines share
+one non-differentiable hit oracle and the tests compare exactly what can
+differ: the differentiable chains and loss assembly).
 
-`/root/reference/DiffRender.py` and `optim.py` are imported and run on CPU
-torch (float64) with their two GPU/external dependencies replaced at the
-seams the reference itself defines:
-
-- the `optix` cpp_extension (loaded at DiffRender.py:5-6) is replaced by a
-  fake `optix_mesh` whose `intersect(rays[n,6]) -> (T, triId)` calls THIS
-  project's brute-force oracle (intersect/brute.py) — the same oracle the
-  drt_tpu side uses, so the non-differentiable hit classification is shared
-  and the differentiable math is compared in isolation. Miss ⇔ T<=0 exactly
-  as optix_extend.cpp (DiffRender.py:391).
-- `trimesh` (topology caches only: edges/edges_sorted/edges_face/
-  group_rows/vertex_neighbors, DiffRender.py:304-370) is replaced by a
-  minimal numpy implementation with trimesh's documented conventions
-  (face-major directed edges).
-- `torch.sparse.FloatTensor` (removed legacy ctor, DiffRender.py:334,370)
-  is shimmed to `torch.sparse_coo_tensor` — its documented replacement.
-
-Then the reference's `Refract`/`FrDielectric`/`JIT_Dintersect`
-(DiffRender.py:36-121), `Scene.refract_ray`/`trace2`/`render_transparent`
-(DiffRender.py:420-432,503-546), `silhouette_edge`/`primary_visibility`/
-`primary_edge_sample` (DiffRender.py:191-267,445-479) and
-`optim.Loss_calculator.all_loss` (optim.py:59-130, reference weights) run
-against identical inputs on both sides, asserting per-term losses AND
-vertex gradients allclose vs drt_tpu's compat-f64 mode.
+Covered, executing the reference's own lines:
+- math kernels Refract / FrDielectric / JIT_Dintersect (DiffRender.py:36-121):
+  values AND input gradients vs drt_tpu geometry kernels (compat mode, f64)
+- ray loss through Scene.render_transparent / trace2 / refract_ray
+  (DiffRender.py:420-432,503-546; optim.py:91-108)
+- silhouette (vh) loss through silhouette_edge / primary_visibility /
+  primary_edge_sample (DiffRender.py:189-267,445-479; optim.py:67-80)
+- smoothness loss through dihedral_angle (DiffRender.py:440-443;
+  optim.py:82-89)
+- all_loss weighted total with the 217.5/resy normalizations
+  (optim.py:110-130) and the full vertex gradient via loss.backward()
+  vs jax.grad
 """
 
 from __future__ import annotations
 
-import itertools
-import sys
-import types
-
 import numpy as np
 import pytest
-
-torch = pytest.importorskip("torch")
 
 import jax
 import jax.numpy as jnp
 
+from drt_tpu.intersect import get_intersect_fn
+from drt_tpu.mesh import build_mesh_state
+from drt_tpu.mesh.ply import save_ply
+from drt_tpu.render.camera import CameraM, generate_rays
+from drt_tpu.render.trace import render_transparent
+from drt_tpu.optimize.losses import LossWeights, total_loss
+from drt_tpu.data.views import stack_views
 from tests.meshes import make_icosphere
+from tests.reference_harness import FakeData, load_reference
 
-REF_PATH = "/root/reference"
-INT_IOR, EXT_IOR = 1.4723, 1.00029
-RESY = RESX = 64
+pytestmark = pytest.mark.filterwarnings("ignore")
 
-
-# --- minimal trimesh replacement (topology caches only) ---------------------
-
-class _FakeTrimesh:
-    """The slice of trimesh.Trimesh that Scene.update_mesh/init_edge/
-    init_weightM read (DiffRender.py:304-370), built in numpy with trimesh's
-    conventions: `edges` are the 3F directed face edges in face-major order,
-    `edges_face` maps each to its face."""
-
-    def __init__(self, vertices, faces):
-        self.vertices = np.asarray(vertices, np.float64)
-        self.faces = np.asarray(faces, np.int64)
-        f = self.faces
-        self.edges = f[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2)   # [3F,2]
-        self.edges_sorted = np.sort(self.edges, axis=1)
-        self.edges_face = np.repeat(np.arange(len(f)), 3)
-        self.is_watertight = True
-
-    @property
-    def vertex_neighbors(self):
-        nbr = [set() for _ in range(len(self.vertices))]
-        for a, b in self.edges:
-            nbr[a].add(int(b))
-            nbr[b].add(int(a))
-        return [sorted(s) for s in nbr]
+RESY, RESX = 60, 80
+N_VIEWS = 8
+SILH_BUDGET = 512
 
 
-def _group_rows(rows, require_count=2):
-    """trimesh.grouping.group_rows: indices of identical rows, grouped;
-    only groups of exactly `require_count` are returned ([G, count])."""
-    rows = np.asarray(rows)
-    order = np.lexsort(rows.T[::-1])
-    srt = rows[order]
-    new = np.any(srt[1:] != srt[:-1], axis=1)
-    starts = np.concatenate([[0], np.nonzero(new)[0] + 1, [len(rows)]])
-    groups = [order[a:b] for a, b in zip(starts[:-1], starts[1:])
-              if b - a == require_count]
-    return np.asarray(groups)
+# ---------------------------------------------------------------------------
+# math kernels
+# ---------------------------------------------------------------------------
+
+def test_refract_kernel_parity_values_and_grads():
+    ref = load_reference()
+    torch = ref.torch
+    rng = np.random.default_rng(0)
+    n_np = rng.normal(size=(256, 3))
+    n_np /= np.linalg.norm(n_np, axis=1, keepdims=True)
+    # wo on the same side as n, away from grazing (the reference has no
+    # radicand floor; drt floors at 1e-12 which only differs AT grazing)
+    tang = rng.normal(size=(256, 3))
+    tang -= np.sum(tang * n_np, axis=1, keepdims=True) * n_np
+    tang /= np.linalg.norm(tang, axis=1, keepdims=True)
+    ang = rng.uniform(0.05, 1.35, size=(256, 1))   # 3°..77° incidence
+    wo_np = np.cos(ang) * n_np + np.sin(ang) * tang
+    eta_np = rng.uniform(0.6, 1.5, size=256)
+
+    wo_t = torch.tensor(wo_np, requires_grad=True)
+    n_t = torch.tensor(n_np, requires_grad=True)
+    tir_t, wt_t = ref.DiffRender.Refract(wo_t, n_t, torch.tensor(eta_np))
+    cot = torch.tensor(rng.normal(size=(256, 3)))
+    wt_t.backward(cot)
+
+    from drt_tpu.geometry.vec import refract
+    with jax.enable_x64():
+        def f(wo, n):
+            tir, wt = refract(wo, n, jnp.asarray(eta_np),
+                              compat_cos_from_incident=True)
+            return jnp.sum(wt * jnp.asarray(cot.numpy())), (tir, wt)
+        (_, (tir_j, wt_j)), (g_wo, g_n) = jax.value_and_grad(
+            f, argnums=(0, 1), has_aux=True)(
+            jnp.asarray(wo_np), jnp.asarray(n_np))
+
+    np.testing.assert_array_equal(np.asarray(tir_j), tir_t.numpy())
+    np.testing.assert_allclose(np.asarray(wt_j), wt_t.detach().numpy(),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_wo), wo_t.grad.numpy(),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_n), n_t.grad.numpy(),
+                               rtol=1e-9, atol=1e-12)
 
 
-# --- fake optix module: this project's brute oracle behind the C++ API ------
+def test_fresnel_kernel_parity():
+    ref = load_reference()
+    torch = ref.torch
+    rng = np.random.default_rng(1)
+    cos_i = rng.uniform(0.05, 0.999, size=512)
+    eta_i = np.full(512, 1.00029)
+    eta_t = np.full(512, 1.4723)
+    # include exiting-ray lanes (swapped etas, some TIR)
+    eta_i[256:], eta_t[256:] = eta_t[256:], eta_i[256:].copy()
 
-class _FakeOptixMesh:
-    """optix_extend.cpp's optix_mesh: update_mesh(F,V)/update_vert(V)/
-    intersect(rays[n,6]) -> (T[n] f32, triId[n] i32), miss ⇔ T<=0."""
+    c_t = torch.tensor(cos_i, requires_grad=True)
+    tir_t, R_t = ref.DiffRender.FrDielectric(
+        c_t, torch.tensor(eta_i), torch.tensor(eta_t))
+    R_t.sum().backward()
 
-    def __init__(self, cuda_device=0):
-        self.F = None
-        self.V = None
+    from drt_tpu.geometry.vec import fresnel_dielectric
+    with jax.enable_x64():
+        def f(c):
+            tir, R = fresnel_dielectric(c, jnp.asarray(eta_i),
+                                        jnp.asarray(eta_t))
+            return jnp.sum(jnp.where(tir, 0.0, R)), (tir, R)
+        (_, (tir_j, R_j)), g_c = jax.value_and_grad(f, has_aux=True)(
+            jnp.asarray(cos_i))
 
-    def update_mesh(self, F, V):
-        self.F = jnp.asarray(F.detach().cpu().numpy())
-        self.update_vert(V)
+    np.testing.assert_array_equal(np.asarray(tir_j), tir_t.numpy())
+    keep = ~tir_t.numpy()
+    np.testing.assert_allclose(np.asarray(R_j)[keep],
+                               R_t.detach().numpy()[keep], rtol=1e-12)
+    # the reference's TIR lanes produce NaN grads (sqrt of negative radicand
+    # clamped to 0); compare non-TIR lanes
+    np.testing.assert_allclose(np.asarray(g_c)[keep],
+                               c_t.grad.numpy()[keep], rtol=1e-9,
+                               atol=1e-12)
 
-    def update_vert(self, V):
-        self.V = jnp.asarray(V.detach().cpu().numpy(), jnp.float32)
 
-    def intersect(self, rays):
-        from drt_tpu.intersect.brute import intersect_brute
-        r = rays.detach().cpu().numpy()
-        hits = intersect_brute(jnp.asarray(r[:, :3]), jnp.asarray(r[:, 3:]),
-                               self.V, self.F)
-        t = np.asarray(hits.t)
-        tid = np.asarray(hits.tri_id)
-        T = np.where(np.isfinite(t), t, -1.0).astype(np.float32)
-        return torch.from_numpy(T), torch.from_numpy(tid.astype(np.int64))
+def test_moller_trumbore_parity_values_and_grads():
+    ref = load_reference()
+    torch = ref.torch
+    rng = np.random.default_rng(2)
+    n = 128
+    tri_np = rng.normal(scale=3.0, size=(n, 3, 3)) + \
+        np.array([0.0, 0.0, 10.0])
+    # rays from origin through each triangle's centroid (guaranteed
+    # non-degenerate intersections)
+    o_np = rng.normal(scale=0.3, size=(n, 3))
+    d_np = tri_np.mean(axis=1) - o_np + rng.normal(scale=0.2, size=(n, 3))
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+
+    o_t = torch.tensor(o_np, requires_grad=True)
+    tri_t = torch.tensor(tri_np, requires_grad=True)
+    u_t, v_t, t_t, n_t = ref.DiffRender.JIT_Dintersect(
+        o_t, torch.tensor(d_np), tri_t, torch.zeros(n, 3, 3))
+    cu = rng.normal(size=n)
+    cn = rng.normal(size=(n, 3))
+    (u_t * torch.tensor(cu)).sum().add(
+        (n_t * torch.tensor(cn)).sum()).add(t_t.sum()).backward()
+
+    from drt_tpu.geometry.mt import moller_trumbore
+    with jax.enable_x64():
+        def f(o, tri):
+            u, v, t, nn = moller_trumbore(o, jnp.asarray(d_np), tri)
+            return (jnp.sum(u * cu) + jnp.sum(nn * cn) + jnp.sum(t),
+                    (u, v, t, nn))
+        (_, (u_j, v_j, t_j, n_j)), (g_o, g_tri) = jax.value_and_grad(
+            f, argnums=(0, 1), has_aux=True)(
+            jnp.asarray(o_np), jnp.asarray(tri_np))
+
+    np.testing.assert_allclose(np.asarray(u_j), u_t.detach().numpy(),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v_j), v_t.detach().numpy(),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(t_j), t_t.detach().numpy(),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(n_j), n_t.detach().numpy(),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_o), o_t.grad.numpy(),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_tri), tri_t.grad.numpy(),
+                               rtol=1e-8, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end scenario: 8 synthetic views of a perturbed icosphere
+# ---------------------------------------------------------------------------
+
+def _look_at(cam_pos, center, up=(0.0, 0.0, 1.0)):
+    """4x4 world->camera with +z looking from cam_pos toward center (the
+    reference's convention: pixels back-project through K^-1 to z=1, then
+    R^-1 to world — captured_data.py:23-40)."""
+    fwd = np.asarray(center, np.float64) - np.asarray(cam_pos, np.float64)
+    fwd /= np.linalg.norm(fwd)
+    right = np.cross(fwd, np.asarray(up, np.float64))
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    Rw = np.stack([right, down, fwd])          # world->cam rotation rows
+    R = np.eye(4)
+    R[:3, :3] = Rw
+    R[:3, 3] = -Rw @ np.asarray(cam_pos, np.float64)
+    return R
 
 
 @pytest.fixture(scope="module")
-def reference():
-    """Import the reference's DiffRender + optim with optix/trimesh stubbed;
-    configure for CPU float64 at this test's resolution."""
-    fake_tm = types.ModuleType("trimesh")
+def scenario(tmp_path_factory):
+    """Build the shared scenario: true sphere -> synthetic capture (targets,
+    masks) -> perturbed evaluation mesh -> both pipelines' inputs."""
+    ref = load_reference()
+    torch = ref.torch
+    rng = np.random.default_rng(42)
 
-    def _load(path, process=False):
-        from drt_tpu.mesh import load_ply
-        v, f = load_ply(path)
-        return _FakeTrimesh(v, f)
+    v_true, f = make_icosphere(subdivisions=3, radius=100.0)
+    v_true = v_true + np.array([37.0, -12.0, 55.0])
+    center = v_true.mean(axis=0)
 
-    fake_tm.load = _load
-    fake_tm.grouping = types.ModuleType("trimesh.grouping")
-    fake_tm.grouping.group_rows = _group_rows
+    K = np.array([[90.0, 0.0, RESX / 2.0],
+                  [0.0, 90.0, RESY / 2.0],
+                  [0.0, 0.0, 1.0]])
 
-    import torch.utils.cpp_extension as cppext
-    fake_optix = types.SimpleNamespace(optix_mesh=_FakeOptixMesh)
-    orig_load = cppext.load
-    cppext.load = lambda *a, **k: fake_optix
-    sys.modules.setdefault("trimesh", fake_tm)
-    if REF_PATH not in sys.path:
-        sys.path.insert(0, REF_PATH)
-    # torch 2.x removed the legacy sparse ctor the reference uses
-    # (DiffRender.py:334,370); sparse_coo_tensor is its documented
-    # replacement with identical semantics.
-    if not hasattr(torch.sparse, "FloatTensor"):
-        torch.sparse.FloatTensor = (
-            lambda coo, w, size: torch.sparse_coo_tensor(coo, w, tuple(size)))
-    try:
-        import DiffRender as Render
-        import optim as ref_optim
-    finally:
-        cppext.load = orig_load
-    Render.device = "cpu"
-    Render.Float = torch.float64
-    Render.resy, Render.resx = RESY, RESX
-    Render.intIOR, Render.extIOR = INT_IOR, EXT_IOR
-    ref_optim.device = "cpu"
-    return Render, ref_optim
+    views_np = []
+    with jax.enable_x64():
+        brute = get_intersect_fn("brute")
+        ms_true = build_mesh_state(v_true, f, dtype=jnp.float64)
+        for i in range(N_VIEWS):
+            ang = 2.0 * np.pi * i / N_VIEWS
+            cam_pos = center + 320.0 * np.array(
+                [np.cos(ang), np.sin(ang), 0.25 * np.sin(2.5 * ang + 0.3)])
+            R = _look_at(cam_pos, center)
+            cam = CameraM(jnp.asarray(R), jnp.asarray(K),
+                          jnp.asarray(np.linalg.inv(R)),
+                          jnp.asarray(np.linalg.inv(K)))
+            origin, ray_dir = generate_rays(RESY, RESX, cam)
+
+            # soft mask through the reference's own process_mask
+            # (captured_data.py:12-20)
+            hits = brute(origin, ray_dir, ms_true.vertices, ms_true.faces,
+                         ms_true.face_valid)
+            occ = np.asarray(hits.hit).reshape(RESY, RESX).astype(np.uint8)
+            assert 0 < occ.sum() < occ.size
+            mask = ref.captured_data.process_mask(occ.copy())
+
+            # environment-matting targets from the TRUE surface (view 0 is
+            # the only ray-loss view, reference optim.py:95)
+            res = render_transparent(origin, ray_dir, ms_true, brute,
+                                     1.4723, 1.00029, compat=True)
+            valid = np.asarray(res.valid)
+            target = np.where(valid[:, None],
+                              np.asarray(res.origin)
+                              + 150.0 * np.asarray(res.direction),
+                              center[None, :])
+
+            views_np.append(dict(
+                screen_pixel=target, valid=valid,
+                mask=np.asarray(mask, np.float64),
+                origin=np.asarray(origin), ray_dir=np.asarray(ray_dir),
+                R=R, K=K))
+
+    # evaluation mesh: perturbed true surface (non-trivial loss + grads).
+    # Rounded to f32 so the PLY round-trip the reference Scene loads through
+    # is lossless and both pipelines evaluate bit-identical vertices.
+    v_eval = (v_true + rng.normal(scale=0.6, size=v_true.shape)) \
+        .astype(np.float32).astype(np.float64)
+    ply = tmp_path_factory.mktemp("parity") / "eval.ply"
+    save_ply(str(ply), v_eval, f)
+
+    # ----- reference side ---------------------------------------------------
+    ref.DiffRender.resy = RESY
+    ref.DiffRender.resx = RESX
+    ref.DiffRender.intIOR = 1.4723
+    scene = ref.DiffRender.Scene(str(ply))
+
+    t_views = []
+    for w in views_np:
+        Rt = torch.tensor(w["R"])
+        Kt = torch.tensor(w["K"])
+        t_views.append(dict(
+            screen_pixel=torch.tensor(w["screen_pixel"]),
+            valid=torch.tensor(w["valid"]),
+            mask=torch.tensor(w["mask"].reshape(-1)),
+            origin=torch.tensor(w["origin"]),
+            ray_dir=torch.tensor(w["ray_dir"]),
+            camera_M=(Rt, Kt, torch.linalg.inv(Rt), torch.linalg.inv(Kt)),
+        ))
+    data = FakeData(t_views, RESY, RESX)
+
+    # ----- drt_tpu side -----------------------------------------------------
+    with jax.enable_x64():
+        views = stack_views(
+            [dict(screen_pixel=w["screen_pixel"], valid=w["valid"],
+                  mask=w["mask"], origin=w["origin"],
+                  ray_dir=w["ray_dir"], R=w["R"], K=w["K"])
+             for w in views_np], dtype=jnp.float64)
+        mesh = build_mesh_state(v_eval, f, dtype=jnp.float64)
+
+    hp = ref.config.HyperParams
+    weights = LossWeights(ray_w=hp["ray_w"], vh_w=hp["vh_w"],
+                          sm_w=hp["sm_w"], ior=1.4723, compat=True)
+
+    return SimpleNamespaceDict(
+        ref=ref, scene=scene, data=data, mesh=mesh, views=views,
+        weights=weights, v_eval=v_eval, f=f, n_real_verts=len(v_eval))
 
 
-# --- the shared scene + view -------------------------------------------------
+class SimpleNamespaceDict(dict):
+    __getattr__ = dict.__getitem__
 
-@pytest.fixture(scope="module")
-def scene_np(tmp_path_factory):
-    """(v, f, ply_path, view arrays): one synthetic view of an offset
-    icosphere at the bundled meshes' coordinate scale, built in float64."""
-    # Unit-scale coordinates: at the bundled meshes' ~100-unit scale the
-    # reference's absolute 1e-5 exit nudge (DiffRender.py:532) sits BELOW
-    # f32 ULP, so the f32 oracle's self-re-hit classification is chaotic at
-    # rounding level and no two f64 implementations can agree lane-for-lane
-    # (render/trace.py refract_ray docstring). At radius 2.5 the nudge is
-    # ~100 ULP and every lane is well-posed; the math chain is unchanged.
-    v, f = make_icosphere(subdivisions=2, radius=2.5)
-    v = v + np.array([0.9, -0.3, 1.4])
-    # PLY stores f32; round the master copy so the reference side (which
-    # loads the PLY) and the drt side (which gets the array) see identical
-    # coordinates.
-    v = v.astype(np.float32).astype(np.float64)
-    ply = tmp_path_factory.mktemp("parity") / "sphere.ply"
-    from drt_tpu.mesh import save_ply
-    save_ply(str(ply), v, f)
 
-    center = v.mean(axis=0)
-    cam_pos = center + np.array([10.0, 1.5, 3.0])
-    from drt_tpu.data.synthetic import intrinsics, look_at_extrinsic
-    R = np.asarray(look_at_extrinsic(cam_pos, center), np.float64)
-    K = np.asarray(intrinsics(RESY, RESX, 45.0), np.float64)
-    R_inv = np.linalg.inv(R)
-    K_inv = np.linalg.inv(K)
+def _ref_calculator(sc):
+    """Fresh Loss_calculator (fresh deterministic view generators)."""
+    ref = sc.ref
+    hp = dict(ref.config.HyperParams)
+    hp["IOR"] = 1.4723
+    return sc.ref.optim.Loss_calculator(sc.scene, sc.data, hp), hp
+
+
+def _drt_losses(sc):
+    with jax.enable_x64():
+        brute = get_intersect_fn("brute")
+        total, aux = total_loss(
+            sc.mesh, sc.views, 0, jnp.arange(N_VIEWS), brute, sc.weights,
+            RESY, RESX, SILH_BUDGET)
+    assert int(aux["silh_edge_max"]) <= SILH_BUDGET
+    return float(total), {k: float(v) for k, v in aux.items()
+                          if k in ("ray", "vh", "sm")}
+
+
+def test_ray_loss_parity(scenario):
+    calc, _ = _ref_calculator(scenario)
+    ref_ray = float(calc.ray_loss())
+    _, aux = _drt_losses(scenario)
+    np.testing.assert_allclose(aux["ray"], ref_ray, rtol=1e-9)
+
+
+def test_vh_loss_parity(scenario):
+    calc, _ = _ref_calculator(scenario)
+    ref_vh = float(calc.vh_loss())
+    _, aux = _drt_losses(scenario)
+    np.testing.assert_allclose(aux["vh"], ref_vh, rtol=1e-9)
+
+
+def test_sm_loss_parity(scenario):
+    calc, _ = _ref_calculator(scenario)
+    ref_sm = float(calc.sm_loss())
+    _, aux = _drt_losses(scenario)
+    np.testing.assert_allclose(aux["sm"], ref_sm, rtol=1e-9)
+
+
+def test_all_loss_and_vertex_grad_parity(scenario):
+    """The headline parity claim: total loss (optim.py:110-130 executing the
+    reference's own weight/normalization lines) and the full vertex gradient
+    via loss.backward() match drt_tpu's jax.grad in compat-f64 mode."""
+    sc = scenario
+    ref = sc.ref
+    torch = ref.torch
+
+    calc, hp = _ref_calculator(sc)
+    init_vertices = sc.scene.vertices.detach().clone()
+    parameter = torch.zeros_like(init_vertices, requires_grad=True)
+    vertices = init_vertices + parameter
+    sc.scene.update_verticex(vertices)
+    loss_t, _ = calc.all_loss()
+    loss_t.backward()
+    g_ref = parameter.grad.numpy()
 
     with jax.enable_x64():
-        from drt_tpu.render.camera import CameraM, generate_rays
-        cam = CameraM(jnp.asarray(R), jnp.asarray(K), jnp.asarray(R_inv),
-                      jnp.asarray(K_inv))
-        origin_j, dir_j = generate_rays(RESY, RESX, cam)
-    origin = np.asarray(origin_j, np.float64)
-    ray_dir = np.asarray(dir_j, np.float64)
+        brute = get_intersect_fn("brute")
 
-    rng = np.random.default_rng(3)
-    behind = center - 3.0 * (cam_pos - center)
-    screen = behind[None] + rng.normal(scale=1.0, size=(len(ray_dir), 3))
-    # Matting validity: exclude the silhouette-grazing band, where hit/TIR
-    # classification is genuinely chaotic (the f32 oracle flips on tiny
-    # input differences; real environment matting marks exactly these
-    # pixels invalid — captured_data.py's valid mask). Both sides mask
-    # them identically, so parity is asserted on the well-posed rays.
-    d_perp = np.linalg.norm(
-        np.cross(center - origin, ray_dir), axis=1)   # ray-line distance
-    valid = np.abs(d_perp - 2.5) > 0.3
-    yy, xx = np.mgrid[0:RESY, 0:RESX].astype(np.float64)
-    mask = 1.0 / (1.0 + np.exp(
-        0.25 * (np.hypot(yy - RESY / 2, xx - RESX / 2) - RESY / 3)))
-    return dict(v=v, f=f, ply=str(ply), R=R, K=K, R_inv=R_inv, K_inv=K_inv,
-                origin=origin, ray_dir=ray_dir, screen=screen, valid=valid,
-                mask=mask)
+        def loss_fn(verts):
+            m = sc.mesh.with_vertices(verts)
+            total, _aux = total_loss(
+                m, sc.views, 0, jnp.arange(N_VIEWS), brute, sc.weights,
+                RESY, RESX, SILH_BUDGET)
+            return total
 
+        total_j, g_j = jax.value_and_grad(loss_fn)(sc.mesh.vertices)
 
-class _FakeData:
-    """The Data surface Loss_calculator reads (optim.py:59-108):
-    get_view + the two view-index generators + resy/resx."""
-
-    def __init__(self, s):
-        self.resy, self.resx = RESY, RESX
-        t = lambda x: torch.tensor(x, dtype=torch.float64)
-        cam = (t(s["R"]), t(s["K"]), t(s["R_inv"]), t(s["K_inv"]))
-        self._view = (t(s["screen"]), torch.tensor(s["valid"]),
-                      t(s["mask"].reshape(-1)), t(s["origin"]),
-                      t(s["ray_dir"]), cam)
-
-    def get_view(self, idx):
-        return self._view
-
-    def ray_view_generator(self):
-        return itertools.repeat(0)
-
-    def silh_view_generator(self):
-        return itertools.repeat(0)
-
-
-def _reference_loss_and_grad(reference, s, weights):
-    """Run the reference's own Loss_calculator.all_loss (optim.py:110-130)
-    at vertices = init + 0 and return (per-term values, total, grad[V,3])."""
-    Render, ref_optim = reference
-    scene = Render.Scene(s["ply"])
-    data = _FakeData(s)
-    hp = {"ray_w": weights[0], "vh_w": weights[1], "sm_w": weights[2]}
-    lc = ref_optim.Loss_calculator(scene, data, hp)
-
-    init_v = scene.vertices.detach().clone()
-    param = torch.zeros_like(init_v, requires_grad=True)
-    scene.update_verticex(init_v + param)
-    loss, _log = lc.all_loss()
-    loss.backward()
-
-    # re-evaluate the raw per-term values for diagnostics
-    scene.update_verticex(init_v + torch.zeros_like(init_v))
-    terms = (float(lc.ray_loss()), float(lc.vh_loss()), float(lc.sm_loss()))
-    return terms, float(loss), param.grad.detach().numpy()
-
-
-def _drt_loss_and_grad(s, weights, budget=512):
-    """Same quantities through drt_tpu in compat-f64 mode with the brute
-    oracle (LossWeights.compat reproduces DiffRender.py:36-49's Refract and
-    the absolute 1e-5 nudge of :532)."""
-    from drt_tpu.data.views import ViewBatch
-    from drt_tpu.intersect import get_intersect_fn
-    from drt_tpu.mesh import build_mesh_state
-    from drt_tpu.optimize.losses import LossWeights, total_loss
-
-    with jax.enable_x64():
-        ms = build_mesh_state(s["v"], s["f"], dtype=jnp.float64)
-        a = lambda x: jnp.asarray(x)[None]
-        views = ViewBatch(
-            screen_pixel=a(s["screen"]), valid=a(s["valid"]),
-            mask=a(s["mask"]), origin=a(s["origin"]),
-            ray_dir=a(s["ray_dir"]), R=a(s["R"]), K=a(s["K"]),
-            R_inv=a(s["R_inv"]), K_inv=a(s["K_inv"]))
-        w = LossWeights(ray_w=weights[0], vh_w=weights[1], sm_w=weights[2],
-                        ior=INT_IOR, ext_ior=EXT_IOR, compat=True)
-        fn = get_intersect_fn("brute")
-        nv = len(s["v"])
-
-        def loss_fn(p):
-            m = ms.with_vertices(ms.vertices.at[:nv].add(p))
-            return total_loss(m, views, 0, jnp.zeros(8, jnp.int32), fn, w,
-                              RESY, RESX, budget)
-
-        p0 = jnp.zeros((nv, 3), jnp.float64)
-        (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(p0)
-        terms = (float(aux["ray"]), float(aux["vh"]), float(aux["sm"]))
-        return terms, float(loss), np.asarray(g)
-
-
-@pytest.mark.filterwarnings("ignore")
-class TestReferenceParity:
-    def _compare(self, reference, scene_np, weights, loss_rtol=1e-9,
-                 grad_rtol=1e-6):
-        """loss_rtol/grad_rtol: the ray term is conditioning-limited — f64
-        rounding differences between torch and jax (operation order in
-        cross/dot) amplify through near-TIR refraction by ~1e8 — so its
-        tolerances are looser than the vh/sm terms', which agree to f64
-        rounding."""
-        ref_terms, ref_loss, ref_g = _reference_loss_and_grad(
-            reference, scene_np, weights)
-        got_terms, got_loss, got_g = _drt_loss_and_grad(scene_np, weights)
-        for name, r, g, on in zip(("ray", "vh", "sm"), ref_terms, got_terms,
-                                  weights):
-            if on:
-                np.testing.assert_allclose(
-                    g, r, rtol=loss_rtol, atol=1e-12,
-                    err_msg=f"{name} loss value diverges from the "
-                            f"reference's own computation")
-        np.testing.assert_allclose(got_loss, ref_loss, rtol=loss_rtol,
-                                   atol=1e-12)
-        scale = np.abs(ref_g).max()
-        assert scale > 0
-        np.testing.assert_allclose(
-            got_g, ref_g, rtol=grad_rtol, atol=grad_rtol * scale,
-            err_msg="vertex gradient diverges from the reference's autograd")
-        return np.abs(got_g - ref_g).max() / scale
-
-    def test_ray_term(self, reference, scene_np):
-        """render_transparent -> trace2 -> Dintersect/refract_ray
-        (DiffRender.py:420-432,492-546) + ray_loss (optim.py:91-108)."""
-        self._compare(reference, scene_np, (40.0, 0.0, 0.0),
-                      loss_rtol=1e-6, grad_rtol=1e-4)
-
-    def test_silhouette_term(self, reference, scene_np):
-        """silhouette_edge/primary_visibility/primary_edge_sample
-        (DiffRender.py:191-267,445-479) + vh_loss (optim.py:67-80)."""
-        self._compare(reference, scene_np, (0.0, 2e-3, 0.0))
-
-    def test_smoothness_term(self, reference, scene_np):
-        """dihedral_angle/edge_face_norm (DiffRender.py:150-163,440-443) +
-        sm_loss (optim.py:82-89)."""
-        self._compare(reference, scene_np, (0.0, 0.0, 0.08))
-
-    def test_all_terms_reference_weights(self, reference, scene_np):
-        """The full all_loss weighted sum with the reference's shipped
-        weights (config.py:27-30, optim.py:127-129)."""
-        self._compare(reference, scene_np, (40.0, 2e-3, 0.08),
-                      loss_rtol=1e-6, grad_rtol=1e-4)
-
-    def test_refract_kernel_direct(self, reference, scene_np):
-        """Direct kernel-level check: the reference's Refract/FrDielectric
-        (DiffRender.py:36-61) vs drt_tpu's compat refract/fresnel on shared
-        random directions — no scene, pure math."""
-        Render, _ = reference
-        rng = np.random.default_rng(11)
-        n = np.array([0.0, 0.0, 1.0])[None].repeat(256, 0)
-        wo = rng.normal(size=(256, 3))
-        wo /= np.linalg.norm(wo, axis=1, keepdims=True)
-        wo[:, 2] = np.abs(wo[:, 2])
-        eta = np.full(256, EXT_IOR / INT_IOR)
-
-        tir_t, wt_t = Render.Refract(torch.tensor(wo), torch.tensor(n),
-                                     torch.tensor(eta))
-        cos_i = np.clip((wo * n).sum(1), -1, 1)
-        _, R_t = Render.FrDielectric(torch.tensor(cos_i),
-                                     torch.tensor(np.full(256, EXT_IOR)),
-                                     torch.tensor(np.full(256, INT_IOR)))
-
-        from drt_tpu.geometry.vec import fresnel_dielectric, refract
-        with jax.enable_x64():
-            tir_j, wt_j = refract(jnp.asarray(wo), jnp.asarray(n),
-                                  jnp.asarray(eta),
-                                  compat_cos_from_incident=True)
-            _, R_j = fresnel_dielectric(jnp.asarray(np.abs(cos_i)),
-                                        jnp.full(256, EXT_IOR),
-                                        jnp.full(256, INT_IOR))
-        np.testing.assert_array_equal(np.asarray(tir_j),
-                                      tir_t.numpy().reshape(-1))
-        np.testing.assert_allclose(np.asarray(wt_j), wt_t.numpy(),
-                                   rtol=1e-12, atol=1e-12)
-        np.testing.assert_allclose(np.asarray(R_j), R_t.numpy(),
-                                   rtol=1e-12, atol=1e-12)
+    V = sc.n_real_verts
+    g_j = np.asarray(g_j)[:V]
+    np.testing.assert_allclose(float(total_j), float(loss_t), rtol=1e-9)
+    scale = np.abs(g_ref).max()
+    assert scale > 0
+    np.testing.assert_allclose(g_j, g_ref, rtol=1e-7, atol=1e-9 * scale)
