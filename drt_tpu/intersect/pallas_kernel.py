@@ -101,7 +101,8 @@ def tuned_params(num_faces: int) -> dict:
     _, row = min(tab, key=lambda kv: abs(math.log(kv[0] / max(num_faces, 1))))
     return {"ray_tile": int(row["ray_tile"]),
             "tri_chunk": int(row["tri_chunk"]),
-            "prepass": str(row["prepass"])}
+            "prepass": str(row["prepass"]),
+            "group": int(row.get("group", 1))}
 # Whole-coef VMEM budget. The resident coefficient buffer is [NC, 16, 4C]
 # f32 — 16 sublane-padded rows, NOT the 10 logical Plucker rows (a 65536-face
 # mesh allocates 16.7 MB and blew the 16 MB scoped-vmem limit by 88 KB on the
@@ -117,7 +118,7 @@ def pallas_fits(num_padded_faces: int) -> bool:
 def _kernel(count_ref, lo_ref, hi_ref, cand_ref, o3_ref, inv3_ref, phiT_ref,
             coef_ref, t_out_ref, id_out_ref,
             cand_smem, dma_sem, best_t_ref, best_id_ref, *,
-            tri_chunk, t_min):
+            tri_chunk, t_min, group):
     o3 = o3_ref[0]            # [3, RT]
     inv3 = inv3_ref[0]        # [3, RT]
     phiT = phiT_ref[0]        # [16, RT] (zero-padded Plucker features)
@@ -134,7 +135,12 @@ def _kernel(count_ref, lo_ref, hi_ref, cand_ref, o3_ref, inv3_ref, phiT_ref,
     dma.wait()
 
     def cand_body(i, _):
-        c = cand_smem[0, i]
+        # Two-level hierarchy (VERDICT r3 item 8): candidates are GROUP ids
+        # of `group` Morton-consecutive chunks; the prepass tested only the
+        # group AABBs (group x less prepass work), the per-ray chunk slab
+        # test below restores exactness. group=1 degenerates to chunk ids.
+        c = cand_smem[0, i // group] * group + i % group if group > 1 \
+            else cand_smem[0, i]
 
         # Per-ray slab re-test, tightened by the running best.
         def axis_interval(ax):
@@ -183,7 +189,7 @@ def _kernel(count_ref, lo_ref, hi_ref, cand_ref, o3_ref, inv3_ref, phiT_ref,
 
         return 0
 
-    jax.lax.fori_loop(0, count_ref[pl.program_id(0)], cand_body, 0)
+    jax.lax.fori_loop(0, count_ref[pl.program_id(0)] * group, cand_body, 0)
     t_out_ref[0] = best_t_ref[...]
     id_out_ref[0] = best_id_ref[...]
 
@@ -191,7 +197,7 @@ def _kernel(count_ref, lo_ref, hi_ref, cand_ref, o3_ref, inv3_ref, phiT_ref,
 def _kernel_stream(count_ref, lo_ref, hi_ref, cand_ref, o3_ref, inv3_ref,
                    phiT_ref, coef_hbm, t_out_ref, id_out_ref,
                    cand_smem, cand_dma_sem, coef_buf, coef_sems,
-                   best_t_ref, best_id_ref, *, tri_chunk, t_min):
+                   best_t_ref, best_id_ref, *, tri_chunk, t_min, group):
     """Streaming variant: the coefficient tensor stays in HBM; each
     candidate chunk's [4C,10] block is DMA'd into one of two VMEM slots
     while the previous chunk computes (double buffering). Handles meshes of
@@ -208,10 +214,15 @@ def _kernel_stream(count_ref, lo_ref, hi_ref, cand_ref, o3_ref, inv3_ref,
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (tri_chunk, 1), 0)
 
     dma.wait()
-    count = count_ref[pl.program_id(0)]
+    count = count_ref[pl.program_id(0)] * group
+
+    def chunk_id(i):
+        # group-candidate expansion; see _kernel.cand_body
+        return (cand_smem[0, i // group] * group + i % group if group > 1
+                else cand_smem[0, i])
 
     def coef_dma(slot, i):
-        return pltpu.make_async_copy(coef_hbm.at[cand_smem[0, i]],
+        return pltpu.make_async_copy(coef_hbm.at[chunk_id(i)],
                                      coef_buf.at[slot], coef_sems.at[slot])
 
     @pl.when(count > 0)
@@ -225,7 +236,7 @@ def _kernel_stream(count_ref, lo_ref, hi_ref, cand_ref, o3_ref, inv3_ref,
         def _():
             coef_dma(1 - slot, i + 1).start()
 
-        c = cand_smem[0, i]
+        c = chunk_id(i)
 
         def axis_interval(ax):
             t1 = (lo_ref[3 * c + ax] - o3[ax:ax + 1, :]) * inv3[ax:ax + 1, :]
@@ -391,6 +402,7 @@ def intersect_pallas(origins, dirs, vertices, faces, face_valid=None, *,
                      t_min: float = 0.0, ray_tile: int | None = None,
                      tri_chunk: int | None = None,
                      prepass: str | None = None,
+                     group: int | None = None,
                      interpret: bool | None = None) -> Hits:
     """Closest hit for each ray (TPU Pallas kernel). Misses: t=inf, id=-1.
     Off-TPU the kernel runs in Pallas interpreter mode (tests).
@@ -399,16 +411,25 @@ def intersect_pallas(origins, dirs, vertices, faces, face_valid=None, *,
     interval-arithmetic tile-frustum lists (conservative superset, ~RT× less
     prepass work — see _candidates_tile).
 
-    ray_tile/tri_chunk/prepass default to the measured-best config for this
-    mesh size when reports/kernel_tuning.json exists (see tuned_params),
-    else RAY_TILE/TRI_CHUNK/"ray"."""
+    group: chunks per candidate GROUP (the second hierarchy level, VERDICT
+    r3 item 8). The prepass slab-tests only the NG = NC/group group AABBs
+    (group× less prepass work/traffic — the prepass was 50-60%% of the
+    oracle on 146k+-face meshes); the kernel expands each candidate group to
+    its `group` chunks and the existing per-ray chunk slab re-test prunes
+    the extras, so exactness is unchanged. 1 = flat (no grouping).
+
+    ray_tile/tri_chunk/prepass/group default to the measured-best config for
+    this mesh size when reports/kernel_tuning.json exists (see tuned_params),
+    else RAY_TILE/TRI_CHUNK/"ray"/1."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if ray_tile is None or tri_chunk is None or prepass is None:
+    if ray_tile is None or tri_chunk is None or prepass is None \
+            or group is None:
         tuned = tuned_params(int(faces.shape[0]))
         ray_tile = ray_tile or tuned.get("ray_tile", RAY_TILE)
         tri_chunk = tri_chunk or tuned.get("tri_chunk", TRI_CHUNK)
         prepass = prepass or tuned.get("prepass", "ray")
+        group = group or tuned.get("group", 1)
     from drt_tpu.intersect.culled import _chunk_aabbs
 
     N = origins.shape[0]
@@ -424,6 +445,30 @@ def intersect_pallas(origins, dirs, vertices, faces, face_valid=None, *,
     coef, NC = _coef_packed(vertices, faces, face_valid, shift, tri_chunk)
     lo_c, hi_c, chunk_valid = _chunk_aabbs(vertices, faces, face_valid,
                                            shift, tri_chunk)
+
+    if group > 1:
+        # Second hierarchy level: pad the chunk axis to a multiple of
+        # `group`, then aggregate group AABBs for the prepass. Padded
+        # chunks get lo=hi=+inf so the kernel's per-ray slab test rejects
+        # them (entry=+inf is never < best_t); their coef blocks are zero
+        # (det=0 -> no hits) so visiting them is merely idle work.
+        NCg = -(-NC // group) * group
+        padc = NCg - NC
+        if padc:
+            coef = jnp.pad(coef, ((0, padc), (0, 0), (0, 0)))
+            lo_c = jnp.pad(lo_c, ((0, padc), (0, 0)),
+                           constant_values=jnp.inf)
+            hi_c = jnp.pad(hi_c, ((0, padc), (0, 0)),
+                           constant_values=jnp.inf)
+            chunk_valid = jnp.pad(chunk_valid, (0, padc))
+            NC = NCg
+        lo_m = jnp.where(chunk_valid[:, None], lo_c, jnp.inf)
+        hi_m = jnp.where(chunk_valid[:, None], hi_c, -jnp.inf)
+        lo_p = lo_m.reshape(NC // group, group, 3).min(axis=1)
+        hi_p = hi_m.reshape(NC // group, group, 3).max(axis=1)
+        valid_p = chunk_valid.reshape(NC // group, group).any(axis=1)
+    else:
+        lo_p, hi_p, valid_p = lo_c, hi_c, chunk_valid
 
     pad = (-N) % ray_tile
     if pad:
@@ -442,10 +487,9 @@ def intersect_pallas(origins, dirs, vertices, faces, face_valid=None, *,
          jnp.zeros((T, 6, ray_tile), jnp.float32)], axis=1)  # [T,16,RT]
 
     if prepass == "tile":
-        cand, count = _candidates_tile(ot, dt, lo_c, hi_c, chunk_valid,
-                                       t_min)
+        cand, count = _candidates_tile(ot, dt, lo_p, hi_p, valid_p, t_min)
     else:
-        cand, count = _candidates(ot, dt, lo_c, hi_c, chunk_valid, t_min)
+        cand, count = _candidates(ot, dt, lo_p, hi_p, valid_p, t_min)
     NCp = cand.shape[2]                    # lane-aligned candidate capacity
 
     # Small meshes: whole coef tensor VMEM-resident. Large: HBM + per-chunk
@@ -479,7 +523,7 @@ def intersect_pallas(origins, dirs, vertices, faces, face_valid=None, *,
 
     if resident:
         kern = functools.partial(_kernel, tri_chunk=tri_chunk,
-                                 t_min=float(t_min))
+                                 t_min=float(t_min), group=int(group))
         grid_spec = pl.GridSpec(
             grid=(T,),
             in_specs=common_in_specs + [
@@ -493,7 +537,7 @@ def intersect_pallas(origins, dirs, vertices, faces, face_valid=None, *,
         )
     else:
         kern = functools.partial(_kernel_stream, tri_chunk=tri_chunk,
-                                 t_min=float(t_min))
+                                 t_min=float(t_min), group=int(group))
         grid_spec = pl.GridSpec(
             grid=(T,),
             in_specs=common_in_specs + [

@@ -69,7 +69,13 @@ def main():
     ap.add_argument("--prepasses", nargs="*", default=["ray", "tile"],
                     help="candidate prepass variants to sweep (tile = "
                          "interval frustum test, see pallas_kernel.py)")
+    ap.add_argument("--groups", nargs="*", type=int, default=[1],
+                    help="chunks-per-group values for the second hierarchy "
+                         "level (VERDICT r3 item 8); 1 = flat")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--append", action="store_true",
+                    help="extend an existing --out table instead of "
+                         "overwriting it (tuned_params ranks merged rows)")
     ap.add_argument("--out", default="reports/kernel_tuning.json")
     args = ap.parse_args()
 
@@ -96,8 +102,10 @@ def main():
         for rt in args.ray_tiles:
             for tc in args.tri_chunks:
               for pp in args.prepasses:
+               for g in args.groups:
                 fn = jax.jit(functools.partial(
-                    intersect_pallas, ray_tile=rt, tri_chunk=tc, prepass=pp))
+                    intersect_pallas, ray_tile=rt, tri_chunk=tc, prepass=pp,
+                    group=g))
                 try:
                     def timed():
                         t0 = time.perf_counter()
@@ -119,13 +127,15 @@ def main():
                            # so sweep keys and lookup keys match (ADVICE.md)
                            "faces_padded": int(ms.faces.shape[0]),
                            "ray_tile": rt, "tri_chunk": tc, "prepass": pp,
+                           "group": g,
                            "oracle_ms": round(dt * 1e3, 2),
                            "mrays_per_s": round(n / dt / 1e6, 2),
                            "hits": int(np.isfinite(
                                np.asarray(hits.t)).sum())}
                 except Exception as e:
                     row = {"mesh": name, "ray_tile": rt, "tri_chunk": tc,
-                           "prepass": pp, "error": repr(e)[:200]}
+                           "prepass": pp, "group": g,
+                           "error": repr(e)[:200]}
                 print(json.dumps(row), flush=True)
                 mesh_rows.append(row)
 
@@ -139,12 +149,13 @@ def main():
                       key=lambda r: r["oracle_ms"])[:args.fwd_top]
         for row in good:
             def make_fn(rt=row["ray_tile"], tc=row["tri_chunk"],
-                        pp=row["prepass"]):
+                        pp=row["prepass"], g=row.get("group", 1)):
                 def ifn(o, d, vert, fc, fv, coherent=True):
                     return intersect_pallas(
                         jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
                         jax.lax.stop_gradient(vert), fc, fv, ray_tile=rt,
-                        tri_chunk=tc, prepass=(pp if coherent else "ray"))
+                        tri_chunk=tc, prepass=(pp if coherent else "ray"),
+                        group=g)
                 return ifn
 
             ifn = make_fn()
@@ -164,6 +175,8 @@ def main():
             print(json.dumps(row), flush=True)
         rows.extend(mesh_rows)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    if args.append and os.path.exists(args.out):
+        rows = json.load(open(args.out)) + rows
     json.dump(rows, open(args.out, "w"), indent=1)
 
 

@@ -103,6 +103,45 @@ def test_tile_prepass_superset_of_ray_prepass():
         assert ray_set <= til_set
 
 
+def test_group_hierarchy_matches_brute():
+    """Second hierarchy level (VERDICT r3 item 8): with group>1 the prepass
+    tests only group AABBs and the kernel expands each candidate group to
+    its chunks — results must stay exact (per-ray chunk slab re-test).
+    Includes a group size that doesn't divide the chunk count (padding)."""
+    v, f = make_icosphere(subdivisions=4, radius=50.0)
+    ms = build_mesh_state(v, f)
+    o, d = scene_rays(1024, seed=17)
+    hb = intersect_brute(o, d, ms.vertices, ms.faces, ms.face_valid)
+    for g in (4, 7):
+        for prepass in ("ray", "tile"):
+            hp = intersect_pallas(o, d, ms.vertices, ms.faces,
+                                  ms.face_valid, prepass=prepass, group=g,
+                                  interpret=True)
+            hr, hn = np.asarray(hb.hit), np.asarray(hp.hit)
+            assert (hr != hn).sum() <= 2, (g, prepass)
+            both = hr & hn
+            np.testing.assert_allclose(np.asarray(hp.t)[both],
+                                       np.asarray(hb.t)[both],
+                                       rtol=1e-5, atol=1e-4)
+
+
+def test_group_hierarchy_streaming_matches_brute(monkeypatch):
+    """group>1 through the HBM-streaming double-buffered kernel (the path
+    large meshes take, where the hierarchy matters most)."""
+    import drt_tpu.intersect.pallas_kernel as PK
+    monkeypatch.setattr(PK, "VMEM_COEF_LIMIT_BYTES", 1024)
+    v, f = make_icosphere(subdivisions=4, radius=50.0)
+    ms = build_mesh_state(v, f)
+    o, d = scene_rays(512, seed=19)
+    hb = intersect_brute(o, d, ms.vertices, ms.faces, ms.face_valid)
+    hp = PK.intersect_pallas(o, d, ms.vertices, ms.faces, ms.face_valid,
+                             group=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hb.hit), np.asarray(hp.hit))
+    both = np.asarray(hb.hit)
+    np.testing.assert_allclose(np.asarray(hp.t)[both],
+                               np.asarray(hb.t)[both], rtol=1e-5, atol=1e-4)
+
+
 def test_tuned_params_lookup(tmp_path, monkeypatch):
     """tuned_params picks the best row of the nearest mesh-size regime and
     intersect_pallas falls back to module defaults with no table."""
@@ -123,9 +162,9 @@ def test_tuned_params_lookup(tmp_path, monkeypatch):
     pk._tuning_table.cache_clear()
     try:
         assert pk.tuned_params(9000) == {
-            "ray_tile": 256, "tri_chunk": 64, "prepass": "tile"}
+            "ray_tile": 256, "tri_chunk": 64, "prepass": "tile", "group": 1}
         assert pk.tuned_params(200000) == {
-            "ray_tile": 1024, "tri_chunk": 256, "prepass": "ray"}
+            "ray_tile": 1024, "tri_chunk": 256, "prepass": "ray", "group": 1}
         # corrupt / absent table -> {} (module defaults)
         monkeypatch.setattr(pk, "_TUNING_PATH", str(tmp_path / "absent.json"))
         pk._tuning_table.cache_clear()
