@@ -333,6 +333,96 @@ def test_sm_loss_parity(scenario):
     np.testing.assert_allclose(aux["sm"], ref_sm, rtol=1e-9)
 
 
+def test_process_mask_parity():
+    """L4 parity: drt's scipy-based soft mask vs the reference's own
+    cv2-based process_mask (captured_data.py:12-20), same binary input."""
+    ref = load_reference()
+    from drt_tpu.data.masks import process_mask as drt_process_mask
+    rng = np.random.default_rng(3)
+    m = np.zeros((48, 64), np.uint8)
+    yy, xx = np.mgrid[:48, :64]
+    for _ in range(4):
+        cy, cx, r = rng.uniform(8, 40), rng.uniform(8, 56), rng.uniform(4, 14)
+        m |= ((yy - cy) ** 2 + (xx - cx) ** 2 < r * r).astype(np.uint8)
+    ref_mask = ref.captured_data.process_mask(m.copy())
+    got = drt_process_mask(m)
+    np.testing.assert_allclose(got, ref_mask, atol=1e-5)
+
+
+def test_generate_ray_parity():
+    """L4 parity: drt's generate_rays vs the reference's own generate_ray
+    (captured_data.py:23-40) for the same K^-1/R^-1."""
+    ref = load_reference()
+    center = np.array([10.0, -4.0, 30.0])
+    R = _look_at(center + np.array([300.0, 40.0, -20.0]), center)
+    K = np.array([[85.0, 0.0, 32.0], [0.0, 85.0, 24.0], [0.0, 0.0, 1.0]])
+    ro_t, rd_t = ref.captured_data.generate_ray(
+        48, 64, np.linalg.inv(K), np.linalg.inv(R))
+    with jax.enable_x64():
+        cam = CameraM(jnp.asarray(R), jnp.asarray(K),
+                      jnp.asarray(np.linalg.inv(R)),
+                      jnp.asarray(np.linalg.inv(K)))
+        o_j, d_j = generate_rays(48, 64, cam)
+    np.testing.assert_allclose(np.asarray(o_j), ro_t.cpu().numpy(),
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(d_j), rd_t.cpu().numpy(),
+                               rtol=0, atol=1e-12)
+
+
+def test_full_iteration_sgd_parity(scenario):
+    """L5 parity: two complete optimization iterations — all_loss, backward
+    through the reference's own code, the limit hook (optim.py:155-162
+    semantics), and torch.optim.SGD(momentum=0.95, nesterov=True) — exactly
+    what optim.py:164-215 runs per iteration — vs drt's make_train_step in
+    the parity configuration (sgd + none + clamp)."""
+    sc = scenario
+    ref = sc.ref
+    torch = ref.torch
+    from drt_tpu.optimize.loop import make_train_step
+
+    lr = 0.05
+    calc, hp = _ref_calculator(sc)
+    init_v = sc.scene.vertices.detach().clone()
+    p = torch.zeros_like(init_v, requires_grad=True)
+
+    def limit_hook(grad):      # reference optim.py:155-162
+        grad = grad.clone()
+        grad[torch.isnan(grad)] = 0
+        grad[grad > 1] = 1
+        grad[grad < -1] = -1
+        return grad
+
+    p.register_hook(limit_hook)
+    opt = torch.optim.SGD([p], lr=lr, momentum=hp["momentum"],
+                          nesterov=True)
+    for _ in range(2):
+        opt.zero_grad()
+        sc.scene.update_verticex(init_v + p)
+        loss_t, _ = calc.all_loss()
+        loss_t.backward()
+        opt.step()
+    v_ref = (init_v + p).detach().numpy()
+
+    with jax.enable_x64():
+        brute = get_intersect_fn("brute")
+        init_state, step, final_vertices = make_train_step(
+            brute, sc.weights, RESY, RESX, SILH_BUDGET,
+            momentum=hp["momentum"], optimizer="sgd", precond="none")
+        st = init_state(sc.mesh)
+        losses = []
+        for _ in range(2):
+            st, loss_j, _aux = step(st, lr, sc.mesh, sc.views, 0,
+                                    jnp.arange(N_VIEWS))
+            losses.append(float(loss_j))
+        v_drt = np.asarray(final_vertices(st, sc.mesh))[: sc.n_real_verts]
+
+    np.testing.assert_allclose(v_drt, v_ref, rtol=1e-7, atol=1e-8)
+    assert losses[1] != losses[0]   # the steps actually moved the mesh
+
+    # restore the scene's vertices for any test running after this one
+    sc.scene.update_verticex(init_v)
+
+
 def test_all_loss_and_vertex_grad_parity(scenario):
     """The headline parity claim: total loss (optim.py:110-130 executing the
     reference's own weight/normalization lines) and the full vertex gradient
