@@ -29,9 +29,23 @@ def moller_trumbore(origin: jnp.ndarray, ray_dir: jnp.ndarray,
     vertex-normal interpolation is intentionally disabled there,
     DiffRender.py:103-114).
     """
-    v0 = triangles[..., 0, :]
-    v1 = triangles[..., 1, :]
-    v2 = triangles[..., 2, :]
+    return moller_trumbore_verts(origin, ray_dir, triangles[..., 0, :],
+                                 triangles[..., 1, :], triangles[..., 2, :],
+                                 det_eps)
+
+
+def moller_trumbore_verts(origin: jnp.ndarray, ray_dir: jnp.ndarray,
+                          v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
+                          det_eps: float = 1e-12):
+    """moller_trumbore with the three vertices as separate [...,3] arrays.
+
+    This is the layout-friendly entry point for the hot path: the per-ray
+    triangle gather feeds it as lane slices of ONE [N,9] row gather
+    (render/trace._bounce), so no [N,3,3] buffer — whose (3,3) minor dims
+    pad to the TPU's (8,128) tile, a ~113x traffic blow-up — ever
+    materializes. Measured on the mouse full view (1.23M rays, v5e): the
+    bounce chain fwd 31.5 -> 7.2 ms, grad 66.8 -> 20.7 ms.
+    """
     edge1 = v1 - v0
     edge2 = v2 - v0
 

@@ -20,7 +20,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from drt_tpu.geometry.mt import moller_trumbore, moller_trumbore_soa
+from drt_tpu.geometry.mt import (moller_trumbore_soa, moller_trumbore_verts)
 from drt_tpu.geometry.vec import dot3, fresnel_dielectric, refract
 
 # Batch size above which _bounce switches from the fast AoS triangle gather
@@ -144,14 +144,18 @@ def _bounce(origin, direction, active, mesh, intersect_fn, int_ior, ext_ior,
     safe_id = jnp.where(hit, hits.tri_id, 0)
     n_rays = origin.shape[0]
     if n_rays <= _AOS_GATHER_MAX * _RAY_SHARD_COUNT:
-        # Fast path: one [N,3,3] AoS triangle gather + vectorized MT. The
-        # gather's HLO temp is lane-padded (~42.7x of [3N,3]), but at the
-        # chunked path's <=1M-ray chunks (render/chunked.py AUTO_CHUNK) and
-        # at full unchunked views (<=2.07M rays) that is <=3 GB — it fits,
-        # and this path measures ~2x faster per step than the SoA variant
-        # (round-3 BENCH_DETAIL regression: mouse 256x256 17.7->34.8 ms).
-        tri = mesh.vertices[mesh.faces[safe_id]]      # [N,3,3] diff. gather
-        _u, _v, t, n = moller_trumbore(origin, direction, tri)
+        # Fast path: ONE [N,9] row gather from a mesh-sized [F,9] triangle
+        # soup, consumed as lane slices by the verts-form MT. Rows of 9
+        # contiguous floats pad 9 -> 128 lanes (14x) instead of the [N,3,3]
+        # AoS gather's (3,3) -> (8,128) tile padding (~113x); the row
+        # scatter in the backward shrinks identically. Measured (mouse full
+        # view, 1.23M rays, v5e): bounce chain fwd 31.5 -> 7.2 ms, grad
+        # 66.8 -> 20.7 ms vs the AoS gather; the SoA variant's 9 scalar
+        # gathers were 2x worse still (round-3 BENCH_DETAIL regression).
+        tri9 = mesh.vertices[mesh.faces].reshape(-1, 9)   # [F,9] (mesh-sized)
+        g9 = tri9[safe_id]                                # [N,9] row gather
+        _u, _v, t, n = moller_trumbore_verts(
+            origin, direction, g9[:, 0:3], g9[:, 3:6], g9[:, 6:9])
     else:
         # Memory path for huge unchunked batches: nine [N]-from-[F]
         # component gathers keep every buffer lane-dense — the single AoS

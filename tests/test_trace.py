@@ -211,13 +211,13 @@ class TestSoAFallbackParity:
         branch choice is observable through the module flag trick below)."""
         from drt_tpu.render import trace as trace_mod
         calls = []
-        real_mt = trace_mod.moller_trumbore
+        real_mt = trace_mod.moller_trumbore_verts
 
         def spy_mt(*a, **k):
             calls.append("aos")
             return real_mt(*a, **k)
 
-        monkeypatch.setattr(trace_mod, "moller_trumbore", spy_mt)
+        monkeypatch.setattr(trace_mod, "moller_trumbore_verts", spy_mt)
         monkeypatch.setattr(trace_mod, "_AOS_GATHER_MAX", 4)
         monkeypatch.setattr(trace_mod, "_RAY_SHARD_COUNT", 8)
         v, f = make_icosphere(subdivisions=1)
