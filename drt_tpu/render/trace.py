@@ -102,6 +102,58 @@ def refract_ray(origin, direction, t, n, int_ior, ext_ior,
     return refracted, new_origin, wt
 
 
+@jax.custom_vjp
+def _gather_tri9(vertices, faces, safe_id):
+    """[N,9] per-ray triangle rows: the 9 coordinates of each ray's matched
+    triangle, contiguous in lanes (pad 9 -> 128, 14x — vs the ~113x (8,128)
+    tiling of a [N,3,3] AoS gather).
+
+    Forward picks the cheaper route by which side of the gather is smaller:
+    - ray-dominated (N >= F, full views): [F,9] triangle soup from ONE
+      mesh-sized [3F,3] row gather, then a [N,9] row gather.
+    - face-dominated (N < F, low-res views of large meshes): direct [3N,3]
+      vertex-row gather + repack (an [F,9] soup would cost more than the
+      batch — measured: dog 256^2 step 52 -> 70 ms with soup-always).
+
+    Backward is pinned (custom_vjp) to the direct transpose — reshape the
+    [N,9] cotangent to [3N,3] rows and ONE scatter-add into [V,3] — because
+    AD of the soup route scatters [N,9] -> [F,9] first, which measured ~2x
+    slower on the streaming meshes (dog full-view step bwd 131 -> 255 ms).
+    """
+    if safe_id.shape[0] >= faces.shape[0]:
+        tri9 = vertices[faces.reshape(-1)].reshape(-1, 9)
+        return tri9[safe_id]
+    return vertices[faces[safe_id].reshape(-1)].reshape(-1, 9)
+
+
+# Backward-scatter route threshold: accumulate the [N,9] cotangent into a
+# per-face [F,9] buffer first when the padded face buffer is at most this
+# (two cheap row scatters: N rows into F, then 3F rows into V); above it the
+# [F,9] accumulation itself dominates and one direct [3N,3] -> [V,3] scatter
+# wins (measured, v5e, full 1.23M-ray view: mouse F=16k soup-bwd 29 ms vs
+# direct 200+; dog F=262k soup-bwd 255 ms vs direct ~130).
+_SOUP_BWD_MAX_FACES = 2 ** 16
+
+
+def _gather_tri9_fwd(vertices, faces, safe_id):
+    idx3 = faces[safe_id].reshape(-1)          # residual: [3N] vertex rows
+    return _gather_tri9(vertices, faces, safe_id), \
+        (idx3, jnp.zeros_like(vertices), faces, safe_id)
+
+
+def _gather_tri9_bwd(res, dg9):
+    idx3, dv0, faces, safe_id = res
+    if faces.shape[0] <= _SOUP_BWD_MAX_FACES:
+        df9 = jnp.zeros((faces.shape[0], 9), dg9.dtype).at[safe_id].add(dg9)
+        dv = dv0.at[faces.reshape(-1)].add(df9.reshape(-1, 3))
+    else:
+        dv = dv0.at[idx3].add(dg9.reshape(-1, 3))
+    return dv, jnp.zeros_like(faces), jnp.zeros_like(safe_id)
+
+
+_gather_tri9.defvjp(_gather_tri9_fwd, _gather_tri9_bwd)
+
+
 def _accepts_coherent(fn) -> bool:
     """True if `fn` takes a `coherent` keyword (the get_intersect_fn
     wrappers do; bare backend functions and test doubles may not)."""
@@ -144,16 +196,16 @@ def _bounce(origin, direction, active, mesh, intersect_fn, int_ior, ext_ior,
     safe_id = jnp.where(hit, hits.tri_id, 0)
     n_rays = origin.shape[0]
     if n_rays <= _AOS_GATHER_MAX * _RAY_SHARD_COUNT:
-        # Fast path: ONE [N,9] row gather from a mesh-sized [F,9] triangle
-        # soup, consumed as lane slices by the verts-form MT. Rows of 9
-        # contiguous floats pad 9 -> 128 lanes (14x) instead of the [N,3,3]
-        # AoS gather's (3,3) -> (8,128) tile padding (~113x); the row
-        # scatter in the backward shrinks identically. Measured (mouse full
-        # view, 1.23M rays, v5e): bounce chain fwd 31.5 -> 7.2 ms, grad
-        # 66.8 -> 20.7 ms vs the AoS gather; the SoA variant's 9 scalar
-        # gathers were 2x worse still (round-3 BENCH_DETAIL regression).
-        tri9 = mesh.vertices[mesh.faces].reshape(-1, 9)   # [F,9] (mesh-sized)
-        g9 = tri9[safe_id]                                # [N,9] row gather
+        # Fast path: assemble a [N,9] row layout (9 contiguous floats pad
+        # 9 -> 128 lanes, 14x) and feed the verts-form MT with [N,3] lane
+        # slices — never materializing a [N,3,3] buffer, whose (3,3) minor
+        # dims tile to the TPU's (8,128) vector tile (~113x traffic).
+        # _gather_tri9 picks the cheaper forward route (soup vs direct) and
+        # pins the backward to ONE [3N,3]-row scatter into [V,3].
+        # Measured (v5e): mouse full-view step 199 -> 100 ms, tiger ss2
+        # 1161 -> 596 ms; bounce chain fwd 31.5 -> 7.2 ms vs the AoS
+        # gather. The SoA variant's 9 scalar gathers were 2x worse still.
+        g9 = _gather_tri9(mesh.vertices, mesh.faces, safe_id)
         _u, _v, t, n = moller_trumbore_verts(
             origin, direction, g9[:, 0:3], g9[:, 3:6], g9[:, 6:9])
     else:

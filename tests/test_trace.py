@@ -227,3 +227,31 @@ class TestSoAFallbackParity:
         d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), o.shape)
         render_transparent(o, d, ms, fn, IOR, EXT)
         assert calls  # 24 <= 4*8 -> AoS path taken
+
+
+class TestGatherTri9:
+    """The custom-vjp [N,9] triangle gather: both forward routes (soup for
+    ray-dominated, direct for face-dominated) must equal the plain AoS
+    gather in value and gradient (the bwd is a hand-pinned transpose)."""
+
+    def test_both_routes_value_and_grad(self):
+        import numpy as np
+        from drt_tpu.render.trace import _gather_tri9
+        rng = np.random.default_rng(0)
+        V, F = 50, 40
+        v = jnp.asarray(rng.normal(size=(V, 3)), jnp.float32)
+        f = jnp.asarray(rng.integers(0, V, (F, 3)), jnp.int32)
+        for N in (20, 200):          # N<F direct route, N>=F soup route
+            sid = jnp.asarray(rng.integers(0, F, (N,)), jnp.int32)
+            cot = jnp.asarray(rng.normal(size=(N, 9)), jnp.float32)
+            got = _gather_tri9(v, f, sid)
+            want = v[f[sid]].reshape(-1, 9)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+            g1 = jax.jit(jax.grad(
+                lambda vv: jnp.sum(_gather_tri9(vv, f, sid) * cot)))(v)
+            g2 = jax.grad(
+                lambda vv: jnp.sum(vv[f[sid]].reshape(-1, 9) * cot))(v)
+            # scatter accumulation order differs between the routes ->
+            # f32 rounding noise
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                       rtol=1e-5, atol=1e-5)
