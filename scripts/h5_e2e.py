@@ -27,11 +27,27 @@ sys.path.insert(0, REPO)
 DATA = "/root/reference/data/"
 
 
+def _tpu_subprocess(cmd, timeout, attempts=3):
+    """Run a TPU-using child with retries: the axon PJRT registration is
+    intermittent under claim contention (observed: 'axon is not in the list
+    of known backends' when another process actively holds the tunnel)."""
+    env = dict(os.environ, PYTHONPATH=REPO)
+    env.update(_TPU_ENV)               # the launch env's TPU settings
+    for i in range(attempts):
+        r = subprocess.run(cmd, env=env, cwd=REPO, text=True,
+                           capture_output=True, timeout=timeout)
+        sys.stderr.write(r.stdout[-3000:] + r.stderr[-3000:])
+        if r.returncode == 0:
+            return r
+        sys.stderr.write(f"\n[h5_e2e] attempt {i + 1} rc={r.returncode}; "
+                         f"retrying\n")
+        time.sleep(20)
+    return r
+
+
 def run_one(name, args):
     import numpy as np
     from drt_tpu.config import POINTGRAY_OBJECTS, POINTGRAY_RES, REDMI_RES
-    from drt_tpu.data import synthesize_capture
-    from drt_tpu.data.captured import save_h5_capture
     from drt_tpu.mesh import load_ply
     from drt_tpu.remesh import hausdorff_distance
 
@@ -41,12 +57,23 @@ def run_one(name, args):
 
     os.makedirs(args.out_dir, exist_ok=True)
     h5_path = os.path.join(args.out_dir, f"{name}.h5")
+    if os.path.exists(h5_path):
+        # a killed earlier run can leave a truncated file — verify it opens
+        import h5py
+        try:
+            with h5py.File(h5_path, "r"):
+                pass
+        except OSError:
+            os.remove(h5_path)
     if not os.path.exists(h5_path):
-        cap = synthesize_capture(
-            gt_v, gt_f, name=name, num_views=args.views, resy=resy,
-            resx=resx, ior=1.4723, num_view_used=args.views,
-            cache_path=os.path.join(args.out_dir, f"{name}_cap.npz"))
-        save_h5_capture(cap, h5_path)
+        # synthesis runs on the TPU in its own process (the parent stays on
+        # CPU so it never holds the exclusive axon claim while children run)
+        r = _tpu_subprocess(
+            [sys.executable, os.path.abspath(__file__), "--_synth", name,
+             "--views", str(args.views), "--out-dir", args.out_dir],
+            args.timeout)
+        if r.returncode != 0:
+            return {"object": name, "error": f"synth rc={r.returncode}"}
 
     t0 = time.time()
     cmd = [sys.executable, "-m", "drt_tpu.cli", "reconstruct",
@@ -59,10 +86,7 @@ def run_one(name, args):
            "--checkpoint-dir", os.path.join(args.out_dir, "ck_" + name),
            "--resume",
            "--metrics", os.path.join(args.out_dir, f"{name}_metrics.jsonl")]
-    env = dict(os.environ, PYTHONPATH=REPO)
-    r = subprocess.run(cmd, env=env, cwd=REPO, text=True,
-                       capture_output=True, timeout=args.timeout)
-    sys.stderr.write(r.stdout[-3000:] + r.stderr[-3000:])
+    r = _tpu_subprocess(cmd, args.timeout)
     if r.returncode != 0:
         return {"object": name, "error": f"cli rc={r.returncode}"}
 
@@ -87,6 +111,31 @@ def run_one(name, args):
     return row
 
 
+def _synth_one(name, views, out_dir):
+    """Child-process synthesis (TPU): write the exact reference-schema h5."""
+    from drt_tpu.config import POINTGRAY_OBJECTS, POINTGRAY_RES, REDMI_RES
+    from drt_tpu.data import synthesize_capture
+    from drt_tpu.data.captured import save_h5_capture
+    from drt_tpu.mesh import load_ply
+
+    resy, resx = (POINTGRAY_RES if name in POINTGRAY_OBJECTS else REDMI_RES)
+    resy, resx = resy // 4, resx // 4
+    gt_v, gt_f = load_ply(f"{DATA}{name}_scan.ply")
+    h5_path = os.path.join(out_dir, f"{name}.h5")
+    cap = synthesize_capture(
+        gt_v, gt_f, name=name, num_views=views, resy=resy,
+        resx=resx, ior=1.4723, num_view_used=views,
+        cache_path=os.path.join(out_dir, f"{name}_cap.npz"))
+    # write-then-rename so a kill never leaves a half-written capture
+    save_h5_capture(cap, h5_path + ".tmp")
+    os.replace(h5_path + ".tmp", h5_path)
+
+
+# TPU-relevant launch-env vars, captured before the parent forces itself to
+# CPU, so child processes inherit the real TPU configuration.
+_TPU_ENV = {}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--objects", nargs="*", default=["mouse", "tiger"])
@@ -97,7 +146,20 @@ def main():
     ap.add_argument("--timeout", type=int, default=3600)
     ap.add_argument("--out-dir", default="results_r4/h5")
     ap.add_argument("--report", default="reports/h5_e2e_r4.json")
+    ap.add_argument("--_synth", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    if args._synth:
+        _synth_one(args._synth, args.views, args.out_dir)
+        return
+
+    # Parent: evaluation/bookkeeping only — run on CPU so the exclusive
+    # axon TPU claim stays free for the child processes.
+    for k in ("JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS"):
+        if k in os.environ:
+            _TPU_ENV[k] = os.environ[k]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
 
     rows = []
     if os.path.exists(args.report):
