@@ -39,6 +39,7 @@ def cmd_reconstruct(args):
         lr_decay=args.lr_decay, start_len=args.start_len,
         end_len=args.end_len, num_view=args.num_view, backend=args.backend,
         seed=args.seed, ray_views_per_iter=args.ray_views_per_iter,
+        coarsen_policy=args.coarsen_policy,
     )
 
     if args.data == "synthetic":
@@ -225,6 +226,11 @@ def main(argv=None):
     r.add_argument("--backend", default="auto",
                    choices=["auto", "brute", "culled", "pallas"])
     r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--coarsen-policy", default="auto",
+                   choices=["auto", "schedule", "clamp", "skip"],
+                   help="early-pass coarsening policy (config.py docs; "
+                        "auto = measured-best by capture resolution, "
+                        "schedule = reference parity)")
     r.add_argument("--no-remesh", action="store_true")
     r.add_argument("--resume", action="store_true",
                    help="continue from the latest per-pass checkpoint")

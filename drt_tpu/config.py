@@ -91,6 +91,18 @@ class HyperParams:
                                  #     early passes; even a clamped remesh
                                  #     resamples the surface and loses
                                  #     detail)
+                                 #   "auto": "skip" below 480 capture rows,
+                                 #     "schedule" at or above — the measured
+                                 #     crossover (round 4): skip fixed both
+                                 #     quick-suite regressions (hand
+                                 #     1.24->1.06, dog 2.37->1.97 beat init,
+                                 #     suite_r4_policy_skip) while the
+                                 #     parity schedule already improves at
+                                 #     640x480 (1.09->0.78,
+                                 #     suite_r4_res_ablation) and full res
+                                 # Default stays "schedule" (reference
+                                 # parity); the CLI and suite runner default
+                                 # to "auto".
 
     def replace(self, **kw) -> "HyperParams":
         return dataclasses.replace(self, **kw)

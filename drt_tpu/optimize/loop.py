@@ -292,6 +292,16 @@ def optimize(
     # "schedule" = reference parity, "clamp" = never above init_len,
     # "skip" = no remesh at all until the schedule drops below init_len.
     policy = "clamp" if hp.no_coarsen else hp.coarsen_policy
+    if policy == "auto":
+        # Measured decision rule (round-4 experiments): below ~480 rows the
+        # early coarse remeshes destroy more carved-init accuracy than the
+        # optimizer recovers — skip fixed both round-3 quick regressions
+        # (hand 1.35->1.06, dog 2.44->1.97 vs init,
+        # reports/suite_r4_policy_skip.md) — while at >=480 rows the parity
+        # schedule already improves (hand 640x480: 1.09->0.78,
+        # reports/suite_r4_res_ablation.md).
+        policy = "skip" if data.resy < 480 else "schedule"
+        log_fn(f"coarsen_policy auto -> {policy} (resy {data.resy})")
     if policy not in ("schedule", "clamp", "skip"):
         raise ValueError(f"unknown coarsen_policy {policy!r}")
 

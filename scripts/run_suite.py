@@ -152,7 +152,7 @@ def main():
     ap.add_argument("--lr", type=float, default=0.1)
     ap.add_argument("--lr-schedule", default="reciprocal",
                     choices=["reciprocal", "len"])
-    ap.add_argument("--coarsen-policy", default="schedule",
+    ap.add_argument("--coarsen-policy", default="auto",
                     choices=["schedule", "clamp", "skip"],
                     help="remesh policy while the LOD target is coarser "
                          "than the init's mean edge length (config.py)")

@@ -177,3 +177,25 @@ def test_coarsen_policy_skip_preserves_init_topology():
                     log_fn=lambda s: None)
     _, f_out2 = out2.host_arrays()
     assert len(f_out2) < len(f0)
+
+
+def test_coarsen_policy_auto_resolves_by_resolution():
+    """'auto' picks 'skip' below 480 capture rows (the measured round-4
+    crossover, reports/suite_r4_policy_skip + suite_r4_res_ablation) and
+    'schedule' at or above. 32-row capture -> skip behavior."""
+    gt_v, gt_f = make_icosphere(subdivisions=3, radius=RADIUS)
+    cap = synthesize_capture(gt_v, gt_f, name="sphere", num_views=6,
+                             resy=32, resx=32, ior=1.5, backend="brute",
+                             num_view_used=6)
+    v0, f0 = make_icosphere(subdivisions=3, radius=RADIUS)
+    hp = HyperParams(name="sphere", ior=1.5, num_passes=2, iters=5,
+                     ray_w=40.0, vh_w=0.0, sm_w=0.08,
+                     start_len=30.0, end_len=24.0,
+                     coarsen_policy="auto",
+                     backend="brute", silhouette_budget=256, num_view=6)
+    lines = []
+    out = optimize(hp, cap, v0, f0, remesh_fn="isotropic",
+                   log_fn=lines.append)
+    _, f_out = out.host_arrays()
+    assert any("auto -> skip" in s for s in lines)
+    assert len(f_out) == len(f0)
