@@ -31,7 +31,11 @@ def _tpu_subprocess(cmd, timeout, attempts=3):
     """Run a TPU-using child with retries: the axon PJRT registration is
     intermittent under claim contention (observed: 'axon is not in the list
     of known backends' when another process actively holds the tunnel)."""
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # APPEND to PYTHONPATH — the axon PJRT plugin registers via a
+    # sitecustomize on the inherited PYTHONPATH; replacing it leaves the
+    # child with JAX_PLATFORMS=axon but no registered axon backend.
+    env = dict(os.environ, PYTHONPATH=(
+        REPO + os.pathsep + os.environ.get("PYTHONPATH", "")))
     env.update(_TPU_ENV)               # the launch env's TPU settings
     for i in range(attempts):
         r = subprocess.run(cmd, env=env, cwd=REPO, text=True,

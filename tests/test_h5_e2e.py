@@ -45,7 +45,7 @@ def test_cli_reconstruct_from_h5(tmp_path):
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
-               PYTHONPATH=repo)
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
     out = subprocess.run(
         [sys.executable, "-m", "drt_tpu.cli", "reconstruct",
          "--name", "mouse", "--data", h5_path,
