@@ -76,6 +76,12 @@ def main():
     ap.add_argument("--append", action="store_true",
                     help="extend an existing --out table instead of "
                          "overwriting it (tuned_params ranks merged rows)")
+    ap.add_argument("--fwd-only", action="store_true",
+                    help="skip the oracle sweep; re-time the FULL forward "
+                         "trace for the existing table's best configs per "
+                         "mesh and update their fwd_ms in place (use after "
+                         "a differentiable-chain change re-orders the "
+                         "end-to-end ranking)")
     ap.add_argument("--out", default="reports/kernel_tuning.json")
     args = ap.parse_args()
 
@@ -90,6 +96,10 @@ def main():
     if args.midlod:
         mesh_paths += midlod_meshes()
 
+    prior = []
+    if args.fwd_only:
+        prior = json.load(open(args.out))
+
     rows = []
     for path in mesh_paths:
         name = os.path.basename(path)[:-4]
@@ -99,7 +109,21 @@ def main():
         origin, ray_dir, _ = make_rays(v, args.resy, args.resx)
         n = origin.shape[0]
         mesh_rows = []
-        for rt in args.ray_tiles:
+        if args.fwd_only:
+            # Re-time fwd for the existing table's best oracle configs of
+            # this mesh; dedupe identical (rt, tc, pp, group) combos.
+            seen = set()
+            for r in sorted((r for r in prior if r.get("mesh") == name
+                             and "oracle_ms" in r),
+                            key=lambda r: r["oracle_ms"]):
+                key = (r["ray_tile"], r["tri_chunk"], r["prepass"],
+                       r.get("group", 1))
+                if key not in seen:
+                    seen.add(key)
+                    r.pop("fwd_ms", None)
+                    mesh_rows.append(r)
+            mesh_rows = mesh_rows[: 2 * args.fwd_top]
+        for rt in ([] if args.fwd_only else args.ray_tiles):
             for tc in args.tri_chunks:
               for pp in args.prepasses:
                for g in args.groups:
@@ -145,8 +169,9 @@ def main():
         # winning (rt, tc) must be good for those too.
         import jax.numpy as jnp
         from drt_tpu.render.trace import render_transparent
-        good = sorted((r for r in mesh_rows if "oracle_ms" in r),
-                      key=lambda r: r["oracle_ms"])[:args.fwd_top]
+        good = (mesh_rows if args.fwd_only
+                else sorted((r for r in mesh_rows if "oracle_ms" in r),
+                            key=lambda r: r["oracle_ms"])[:args.fwd_top])
         for row in good:
             def make_fn(rt=row["ray_tile"], tc=row["tri_chunk"],
                         pp=row["prepass"], g=row.get("group", 1)):
@@ -175,6 +200,10 @@ def main():
             print(json.dumps(row), flush=True)
         rows.extend(mesh_rows)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    if args.fwd_only:
+        # mesh_rows entries are references into `prior` — mutated in place
+        json.dump(prior, open(args.out, "w"), indent=1)
+        return
     if args.append and os.path.exists(args.out):
         rows = json.load(open(args.out)) + rows
     json.dump(rows, open(args.out, "w"), indent=1)
