@@ -56,7 +56,7 @@ def run_one(name, args):
     from drt_tpu.remesh import hausdorff_distance
 
     resy, resx = (POINTGRAY_RES if name in POINTGRAY_OBJECTS else REDMI_RES)
-    resy, resx = resy // 4, resx // 4
+    resy, resx = resy // args.res_div, resx // args.res_div
     gt_v, gt_f = load_ply(f"{DATA}{name}_scan.ply")
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -74,7 +74,8 @@ def run_one(name, args):
         # CPU so it never holds the exclusive axon claim while children run)
         r = _tpu_subprocess(
             [sys.executable, os.path.abspath(__file__), "--_synth", name,
-             "--views", str(args.views), "--out-dir", args.out_dir],
+             "--views", str(args.views), "--res-div", str(args.res_div),
+             "--out-dir", args.out_dir],
             args.timeout)
         if r.returncode != 0:
             return {"object": name, "error": f"synth rc={r.returncode}"}
@@ -115,7 +116,7 @@ def run_one(name, args):
     return row
 
 
-def _synth_one(name, views, out_dir):
+def _synth_one(name, views, out_dir, res_div=4):
     """Child-process synthesis (TPU): write the exact reference-schema h5."""
     from drt_tpu.config import POINTGRAY_OBJECTS, POINTGRAY_RES, REDMI_RES
     from drt_tpu.data import synthesize_capture
@@ -123,7 +124,7 @@ def _synth_one(name, views, out_dir):
     from drt_tpu.mesh import load_ply
 
     resy, resx = (POINTGRAY_RES if name in POINTGRAY_OBJECTS else REDMI_RES)
-    resy, resx = resy // 4, resx // 4
+    resy, resx = resy // res_div, resx // res_div
     gt_v, gt_f = load_ply(f"{DATA}{name}_scan.ply")
     h5_path = os.path.join(out_dir, f"{name}.h5")
     cap = synthesize_capture(
@@ -147,6 +148,8 @@ def main():
     ap.add_argument("--passes", type=int, default=8)
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--carve-res", type=int, default=160)
+    ap.add_argument("--res-div", type=int, default=4,
+                    help="divide capture resolution (1 = full capture res)")
     ap.add_argument("--timeout", type=int, default=3600)
     ap.add_argument("--out-dir", default="results_r4/h5")
     ap.add_argument("--report", default="reports/h5_e2e_r4.json")
@@ -154,7 +157,7 @@ def main():
     args = ap.parse_args()
 
     if args._synth:
-        _synth_one(args._synth, args.views, args.out_dir)
+        _synth_one(args._synth, args.views, args.out_dir, args.res_div)
         return
 
     # Parent: evaluation/bookkeeping only — run on CPU so the exclusive
