@@ -273,7 +273,21 @@ def main(full: bool = True):
             rows.append({"mesh": cfg[0], "res": f"{cfg[3]}x{cfg[2]}",
                          "error": repr(e)})
 
-    with open("BENCH_DETAIL.json", "w") as fh:
+    # Never clobber committed rows from a DIFFERENT device (ADVICE r4 high:
+    # a CPU-backend run once overwrote the TPU table): if BENCH_DETAIL.json
+    # exists for another device kind, divert to a device-suffixed file.
+    detail_path = "BENCH_DETAIL.json"
+    try:
+        with open(detail_path) as fh:
+            prev_device = json.load(fh).get("device")
+    except (OSError, ValueError):
+        prev_device = None
+    if prev_device is not None and prev_device != kind:
+        slug = "".join(c if c.isalnum() else "_" for c in kind).strip("_")
+        detail_path = f"BENCH_DETAIL.{slug}.json"
+        log(f"BENCH_DETAIL.json holds '{prev_device}' rows; this run is "
+            f"'{kind}' — writing {detail_path} instead")
+    with open(detail_path, "w") as fh:
         json.dump({"device": kind, "rows": rows}, fh, indent=1)
 
     head = next((r for r in rows if r["mesh"] == "mouse_vh"

@@ -36,10 +36,50 @@ class Hits(NamedTuple):
         return self.tri_id >= 0
 
 
-def get_intersect_fn(backend: str = "auto", **kw) -> Callable:
+import functools
+import os
+
+
+@functools.lru_cache(maxsize=1)
+def _resort_ab_table():
+    """Measured incoherent-strategy A/B (scripts/resort_ab.py): a list of
+    {"faces_padded": F, "winner": "ray"|"resort"} rows, or () if absent."""
+    import json
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "..", "reports", "resort_ab.json")
+    try:
+        with open(os.path.normpath(path)) as fh:
+            rows = json.load(fh)
+        return tuple((int(r["faces_padded"]), str(r["winner"]))
+                     for r in rows if "winner" in r)
+    except (OSError, ValueError, KeyError, TypeError):
+        return ()
+
+
+def _auto_incoherent(num_faces: int) -> str:
+    """Nearest measured regime's winner; 'ray' (the exact per-ray prepass)
+    when no measurement exists — never guess a perf default."""
+    import math
+    tab = _resort_ab_table()
+    if not tab:
+        return "ray"
+    _, winner = min(tab, key=lambda kv:
+                    abs(math.log(kv[0] / max(num_faces, 1))))
+    return winner
+
+
+def get_intersect_fn(backend: str = "auto", incoherent: str = "auto",
+                     **kw) -> Callable:
     """Returns intersect(origins[N,3], dirs[N,3], vertices, faces, face_valid)
     -> Hits. The returned callable is jit-safe and non-differentiable
-    (stop_gradient applied to its outputs)."""
+    (stop_gradient applied to its outputs).
+
+    incoherent: strategy for coherent=False queries on the pallas backend —
+    "ray" = exact per-ray candidate prepass (O(N*NC) slab tests);
+    "resort" = Morton re-sort the rays so the cheap tile-frustum prepass
+    applies, then scatter hits back (intersect/resort.py); "auto" = resort
+    on streaming-size meshes where the per-ray prepass dominates the step
+    (measured crossover, see reports/resort_ab.json), per-ray below."""
     if backend == "auto":
         if jax.default_backend() == "tpu":
             backend = "pallas"      # falls back per-mesh via pallas_fits
@@ -71,6 +111,21 @@ def get_intersect_fn(backend: str = "auto", **kw) -> Callable:
         sg = jax.lax.stop_gradient
         kw2 = kw
         if backend == "pallas" and not coherent:
+            strat = incoherent
+            if strat == "auto":
+                # Resolved by measurement (scripts/resort_ab.py writes
+                # reports/resort_ab.json): until an A/B on the real chip
+                # shows the re-sort winning for a regime, auto stays on the
+                # exact per-ray prepass.
+                strat = _auto_incoherent(faces.shape[0])
+            if strat == "resort":
+                from drt_tpu.intersect.resort import resorted_intersect
+                kw2 = dict(kw)
+                kw2.setdefault("prepass", "tile")
+                hits = resorted_intersect(
+                    fn, sg(origins), sg(dirs), sg(vertices), faces,
+                    face_valid, **kw2)
+                return Hits(sg(hits.t), sg(hits.tri_id))
             kw2 = dict(kw)
             kw2.setdefault("prepass", "ray")
         hits = fn(sg(origins), sg(dirs), sg(vertices), faces, face_valid,

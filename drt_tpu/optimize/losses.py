@@ -43,7 +43,7 @@ class LossWeights(NamedTuple):
 def ray_loss(mesh, view, intersect_fn: Callable, ior: float,
              ext_ior: float, collect_evidence: bool = False,
              huber: float = 0.0, ray_chunk: int = -1,
-             compat: bool = False) -> jnp.ndarray:
+             compat: bool = False, ray_shard_count: int = 1) -> jnp.ndarray:
     """One-view refraction loss (reference optim.py:91-108).
 
     collect_evidence=True also returns, in the stats dict under
@@ -79,7 +79,8 @@ def ray_loss(mesh, view, intersect_fn: Callable, ior: float,
         # padding lanes, padded valid=False) start inactive — identical loss
         # and gradient (they were masked at the loss anyway), clean stats.
         res = render_transparent(origin, ray_dir, mesh, intersect_fn, ior,
-                                 ext_ior, lane_mask=valid, compat=compat)
+                                 ext_ior, lane_mask=valid, compat=compat,
+                                 ray_shard_count=ray_shard_count)
         # Target direction: from the (detached) exit origin to the matted
         # screen point (optim.py:100-102).
         target = screen_pixel - jax.lax.stop_gradient(res.origin)
@@ -157,7 +158,7 @@ def smooth_loss(mesh) -> jnp.ndarray:
 def total_loss(mesh, views, ray_view_idx, silh_view_idx, intersect_fn,
                weights: LossWeights, resy: int, resx: int,
                silhouette_budget: int, collect_evidence: bool = False,
-               ray_chunk: int = -1):
+               ray_chunk: int = -1, ray_shard_count: int = 1):
     """Weighted sum (reference all_loss, optim.py:110-130). silh_view_idx is
     a static-length [S] array of view indices (the reference uses 8).
     ray_view_idx may be a scalar (reference parity: 1 refraction view per
@@ -172,7 +173,8 @@ def total_loss(mesh, views, ray_view_idx, silh_view_idx, intersect_fn,
                             weights.ior, weights.ext_ior,
                             collect_evidence=collect_evidence,
                             huber=weights.huber, ray_chunk=ray_chunk,
-                            compat=weights.compat)
+                            compat=weights.compat,
+                            ray_shard_count=ray_shard_count)
 
         rls, stats = jax.lax.map(one_ray, ray_view_idx)
         rl = jnp.mean(rls)

@@ -32,17 +32,33 @@ _AOS_GATHER_MAX = 2 ** 21
 # Under GSPMD ray sharding, origin.shape[0] at trace time is the GLOBAL
 # batch but each device materializes only its 1/n shard of the gather temp
 # that motivates _AOS_GATHER_MAX — so the effective per-device threshold is
-# _AOS_GATHER_MAX * n_shards. parallel/sharding.make_sharded_train_step sets
-# this before building (tracing) the sharded step; it is read at trace time.
-_RAY_SHARD_COUNT = 1
+# _AOS_GATHER_MAX * n_shards. The shard count is threaded EXPLICITLY through
+# the call chain (ray_shard_count=) from parallel/sharding down to _bounce:
+# a module-global setter here would be exactly the order-dependent mutation
+# footgun SURVEY.md §5 flags in the reference's optim.py:178-182.
 
 
-def set_ray_shard_count(n: int) -> None:
-    """Declare how many ways the ray axis is sharded, so the AoS-gather
-    memory threshold scales to the per-device shard (ADVICE.md round 3).
-    Takes effect at the next trace; call before jit-compiling a step."""
-    global _RAY_SHARD_COUNT
-    _RAY_SHARD_COUNT = max(1, int(n))
+def debug_enabled() -> bool:
+    """Runtime debug mode (reference `debug` flag, DiffRender.py:15):
+    DRT_TPU_DEBUG=1 enables the TIR FrDielectric/Refract cross-check
+    (DiffRender.py:524-525) and per-bounce finite asserts. Read at trace
+    time, so it gates what gets staged into the jitted computation."""
+    import os
+    return os.environ.get("DRT_TPU_DEBUG", "0") not in ("", "0")
+
+
+def _debug_check(pred: jnp.ndarray, msg: str) -> None:
+    """Stage a device-side invariant check into the traced computation:
+    prints the violating-lane count (only) when any lane violates. Not free
+    on the happy path, which is why it is DRT_TPU_DEBUG-gated."""
+    bad_count = jnp.sum(jnp.logical_not(pred)).astype(jnp.int32)
+
+    def report(c):
+        jax.debug.print("DRT_TPU_DEBUG VIOLATION [" + msg + "]: {c} lanes",
+                        c=c, ordered=False)
+        return c
+
+    jax.lax.cond(bad_count > 0, report, lambda c: c, bad_count)
 
 
 class TraceResult(NamedTuple):
@@ -50,7 +66,7 @@ class TraceResult(NamedTuple):
     direction: jnp.ndarray  # [N,3] exit-ray direction (zeros where invalid)
     valid: jnp.ndarray      # [N] bool — refracted twice AND escaped the mesh
     stats: dict             # diagnostic counters (see trace2)
-    tris: list = []         # [tri_b1, tri_b2] hit face ids (0 on dead lanes)
+    tris: tuple = ()        # (tri_b1, tri_b2) hit face ids (0 on dead lanes)
                             # — feeds per-vertex ray-evidence counts
 
 
@@ -86,12 +102,16 @@ def refract_ray(origin, direction, t, n, int_ior, ext_ior,
     n_f = jnp.where(entering[..., None], n, -n)
     cos_f = jnp.abs(cos_i)
 
-    _, _R = fresnel_dielectric(cos_f, eta_i, eta_t)  # reflectance (unused in
-    # the reference's loss too — it keeps only the refracted branch,
-    # DiffRender.py:520-530; R is exposed for future reflection support)
+    tir_fr, _R = fresnel_dielectric(cos_f, eta_i, eta_t)  # reflectance
+    # (unused in the reference's loss too — it keeps only the refracted
+    # branch, DiffRender.py:520-530; R is exposed for future reflection)
     tir, wt = refract(wo, n_f, eta_i / eta_t,
                       compat_cos_from_incident=compat)
     refracted = jnp.logical_not(tir)
+    if debug_enabled():
+        # The reference's debug assert: FrDielectric and Refract must agree
+        # on which lanes are total-internal-reflection (DiffRender.py:524-525).
+        _debug_check(tir_fr == tir, "TIR FrDielectric/Refract mismatch")
 
     if compat:
         offset = jnp.asarray(offset_eps, wt.dtype)
@@ -185,7 +205,8 @@ def _park_rays(origin, direction, active, mesh):
 
 
 def _bounce(origin, direction, active, mesh, intersect_fn, int_ior, ext_ior,
-            offset_eps, compat=False, coherent=True, pass_hint=False):
+            offset_eps, compat=False, coherent=True, pass_hint=False,
+            ray_shard_count=1):
     if pass_hint:
         hits = intersect_fn(origin, direction, mesh.vertices, mesh.faces,
                             mesh.face_valid, coherent=coherent)
@@ -195,7 +216,7 @@ def _bounce(origin, direction, active, mesh, intersect_fn, int_ior, ext_ior,
     hit = hits.hit
     safe_id = jnp.where(hit, hits.tri_id, 0)
     n_rays = origin.shape[0]
-    if n_rays <= _AOS_GATHER_MAX * _RAY_SHARD_COUNT:
+    if n_rays <= _AOS_GATHER_MAX * max(1, int(ray_shard_count)):
         # Fast path: assemble a [N,9] row layout (9 contiguous floats pad
         # 9 -> 128 lanes, 14x) and feed the verts-form MT with [N,3] lane
         # slices — never materializing a [N,3,3] buffer, whose (3,3) minor
@@ -231,19 +252,26 @@ def _bounce(origin, direction, active, mesh, intersect_fn, int_ior, ext_ior,
     # candidate/MT work on them (see _park_rays).
     o_out, d_out = _park_rays(jnp.where(m, new_o, origin),
                               jnp.where(m, new_d, direction), active, mesh)
+    if debug_enabled():
+        # Active lanes must carry finite geometry into the next query.
+        fin = jnp.isfinite(o_out).all(-1) & jnp.isfinite(d_out).all(-1)
+        _debug_check(jnp.logical_not(active) | fin,
+                     "non-finite ray after bounce")
     return o_out, d_out, active, jnp.where(active, safe_id, 0)
 
 
 def trace2(origin, direction, mesh, intersect_fn: Callable,
            int_ior: float, ext_ior: float = 1.00029,
            offset_eps: float = 1e-5, compat: bool = False,
-           lane_mask=None):
+           lane_mask=None, ray_shard_count: int = 1):
     """Exactly two refraction bounces (reference trace2, DiffRender.py:537-546).
     Returns (origin, direction, active): lanes that refracted at both bounces.
     compat=True: reference-exact chain (see refract_ray).
     lane_mask [N] bool: lanes that start inactive (padding lanes of the
     chunked path, matting-invalid pixels) — they trace garbage-but-finite
     values, produce valid=False, and are excluded from the stats counters.
+    ray_shard_count: how many ways the ray axis is GSPMD-sharded — scales
+    the per-device AoS-gather memory threshold (see _AOS_GATHER_MAX).
     """
     active = (jnp.ones(origin.shape[:-1], dtype=bool)
               if lane_mask is None else lane_mask)
@@ -259,25 +287,28 @@ def trace2(origin, direction, mesh, intersect_fn: Callable,
         o, d, active, tri = _bounce(o, d, active, mesh, intersect_fn,
                                     int_ior, ext_ior, offset_eps,
                                     compat=compat, coherent=(b == 0),
-                                    pass_hint=pass_hint)
+                                    pass_hint=pass_hint,
+                                    ray_shard_count=ray_shard_count)
         tris.append(tri)
         # survivors after this bounce; the drop is miss+TIR lanes
         stats[f"active_after_bounce{b + 1}"] = jnp.sum(active)
         stats[f"dropped_bounce{b + 1}"] = prev - jnp.sum(active)
-    return o, d, active, stats, tris
+    return o, d, active, stats, tuple(tris)
 
 
 def render_transparent(origin, direction, mesh, intersect_fn: Callable,
                        int_ior: float, ext_ior: float = 1.00029,
                        offset_eps: float = 1e-5,
-                       compat: bool = False, lane_mask=None) -> TraceResult:
+                       compat: bool = False, lane_mask=None,
+                       ray_shard_count: int = 1) -> TraceResult:
     """Trace 2 bounces, then require the exit ray to escape (not re-hit the
     mesh) — the reference's third occlusion query (DiffRender.py:420-432).
     Dense per-pixel output; invalid lanes are zeroed like the reference's
     scatter into zeros."""
     o, d, active, stats, tris = trace2(origin, direction, mesh, intersect_fn,
                                        int_ior, ext_ior, offset_eps,
-                                       compat=compat, lane_mask=lane_mask)
+                                       compat=compat, lane_mask=lane_mask,
+                                       ray_shard_count=ray_shard_count)
     if _accepts_coherent(intersect_fn):
         hits = intersect_fn(o, d, mesh.vertices, mesh.faces, mesh.face_valid,
                             coherent=False)

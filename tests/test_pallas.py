@@ -182,3 +182,50 @@ def test_tuned_params_lookup(tmp_path, monkeypatch):
                                       np.asarray(hp.tri_id))
     finally:
         pk._tuning_table.cache_clear()
+
+
+def test_resort_incoherent_matches_brute():
+    """The Morton re-sort wrapper (intersect/resort.py): sorted-tile
+    frustum-prepass oracle scattered back to original lane order must equal
+    the brute oracle exactly — incoherent ray soup, both octant-mixed
+    directions and clustered origins."""
+    from drt_tpu.intersect.resort import resorted_intersect, morton_keys
+
+    v, f = make_icosphere(subdivisions=3, radius=60.0)
+    ms = build_mesh_state(v, f)
+    o, d = scene_rays(1500, seed=7)          # fully incoherent soup
+    hb = intersect_brute(o, d, ms.vertices, ms.faces, ms.face_valid)
+
+    def fn(o, d, vtx, fcs, fv, **kw):
+        return intersect_pallas(o, d, vtx, fcs, fv, interpret=True,
+                                prepass="tile", **kw)
+
+    hr = resorted_intersect(fn, o, d, ms.vertices, ms.faces, ms.face_valid)
+    np.testing.assert_array_equal(np.asarray(hb.hit), np.asarray(hr.hit))
+    both = np.asarray(hb.hit)
+    np.testing.assert_allclose(np.asarray(hr.t)[both],
+                               np.asarray(hb.t)[both], rtol=1e-5, atol=1e-4)
+
+    # key structure: octant-major, and sorted tiles are octant-pure
+    keys = np.asarray(morton_keys(o, d))
+    assert keys.min() >= 0 and keys.max() < 2 ** 30
+    order = np.argsort(keys)
+    octs = keys[order] >> 27
+    assert (np.diff(octs) >= 0).all()
+
+
+def test_resort_through_api_wrapper():
+    """get_intersect_fn(..., incoherent='resort'): the coherent=False call
+    routes through the re-sort and still matches the coherent result."""
+    from drt_tpu.intersect import get_intersect_fn
+
+    v, f = make_icosphere(subdivisions=2, radius=60.0)
+    ms = build_mesh_state(v, f)
+    o, d = scene_rays(700, seed=3)
+    fn = get_intersect_fn("pallas", incoherent="resort", interpret=True)
+    h_co = fn(o, d, ms.vertices, ms.faces, ms.face_valid, coherent=True)
+    h_in = fn(o, d, ms.vertices, ms.faces, ms.face_valid, coherent=False)
+    np.testing.assert_array_equal(np.asarray(h_co.tri_id),
+                                  np.asarray(h_in.tri_id))
+    np.testing.assert_allclose(np.asarray(h_co.t), np.asarray(h_in.t),
+                               rtol=1e-6)

@@ -180,7 +180,35 @@ def test_dryrun_multichip_16_devices():
         env=env, cwd=root, capture_output=True, text=True, timeout=1500)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip(16)" in proc.stdout
-    assert proc.stdout.count("OK") >= 2
+    assert proc.stdout.count("OK") >= 3   # sgd+none, uadam+sobolev, uadam+h1
+
+
+def test_h1_evidence_path_sharded_matches_single(setup):
+    """The h1 branch (per-vertex evidence scatter-add from SHARDED rays into
+    the replicated [V] evidence vector, two vjps, CG solve —
+    optimize/loop.py) is the most sharding-sensitive code (VERDICT r4 weak
+    #6): one step on the 8-device mesh must match the single-device step in
+    loss, evidence mean, and updated parameters."""
+    cap, ms, _ = setup
+    hp = HyperParams()
+    weights = LossWeights(ray_w=hp.ray_w, vh_w=hp.vh_w, sm_w=hp.sm_w,
+                          ior=1.5, ext_ior=hp.ext_ior)
+    step_h1 = make_train_step(
+        get_intersect_fn("brute"), weights, 16, 16,
+        silhouette_budget=128, momentum=hp.momentum,
+        optimizer="uadam", precond="h1", precond_lambda=9.0, cg_iters=16)[:2]
+    p1, _, loss1, aux1 = _run(step_h1, ms, cap.views)
+
+    mesh = make_ray_mesh(jax.devices()[:8])
+    views_s = shard_views(mesh, cap.views)
+    ms_s = replicate(mesh, ms)
+    p2, _, loss2, aux2 = _run(step_h1, ms_s, views_s)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    np.testing.assert_allclose(float(aux1["evidence_mean"]),
+                               float(aux2["evidence_mean"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                               rtol=1e-4, atol=1e-6)
 
 
 def test_ray_arrays_actually_sharded(setup):

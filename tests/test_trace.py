@@ -206,7 +206,7 @@ class TestSoAFallbackParity:
                                    rtol=1e-5, atol=1e-6)
 
     def test_shard_count_scales_threshold(self, monkeypatch):
-        """set_ray_shard_count(n) multiplies the AoS threshold: a batch of
+        """ray_shard_count=n multiplies the AoS threshold: a batch of
         24 rays with threshold 4 but 8 shards stays on the AoS path (the
         branch choice is observable through the module flag trick below)."""
         from drt_tpu.render import trace as trace_mod
@@ -219,14 +219,16 @@ class TestSoAFallbackParity:
 
         monkeypatch.setattr(trace_mod, "moller_trumbore_verts", spy_mt)
         monkeypatch.setattr(trace_mod, "_AOS_GATHER_MAX", 4)
-        monkeypatch.setattr(trace_mod, "_RAY_SHARD_COUNT", 8)
         v, f = make_icosphere(subdivisions=1)
         ms = build_mesh_state(v, f)
         fn = get_intersect_fn("brute")
         o = jnp.zeros((24, 3)) + jnp.array([0.0, 0.0, -5.0])
         d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), o.shape)
-        render_transparent(o, d, ms, fn, IOR, EXT)
+        render_transparent(o, d, ms, fn, IOR, EXT, ray_shard_count=8)
         assert calls  # 24 <= 4*8 -> AoS path taken
+        calls.clear()
+        render_transparent(o, d, ms, fn, IOR, EXT, ray_shard_count=1)
+        assert not calls  # 24 > 4*1 -> SoA path taken
 
 
 class TestGatherTri9:
@@ -255,3 +257,33 @@ class TestGatherTri9:
             # f32 rounding noise
             np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                        rtol=1e-5, atol=1e-5)
+
+
+class TestDebugMode:
+    """DRT_TPU_DEBUG=1 (reference `debug` flag, DiffRender.py:15) stages the
+    TIR FrDielectric/Refract cross-check (DiffRender.py:524-525) and
+    per-bounce finite asserts into the traced computation."""
+
+    def test_clean_trace_identical_and_silent(self, monkeypatch, capfd):
+        ms = cube_scene()
+        fn = get_intersect_fn("brute")
+        o = jnp.array([[0.1, 0.2, -5.0], [0.3, -0.1, -5.0]])
+        d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), o.shape)
+        res_plain = render_transparent(o, d, ms, fn, IOR, EXT)
+        monkeypatch.setenv("DRT_TPU_DEBUG", "1")
+        res_dbg = render_transparent(o, d, ms, fn, IOR, EXT)
+        jax.block_until_ready(res_dbg.direction)
+        np.testing.assert_array_equal(np.asarray(res_plain.valid),
+                                      np.asarray(res_dbg.valid))
+        np.testing.assert_allclose(np.asarray(res_plain.direction),
+                                   np.asarray(res_dbg.direction), rtol=1e-7)
+        captured = capfd.readouterr()
+        assert "VIOLATION" not in captured.out + captured.err
+
+    def test_violation_prints(self, monkeypatch, capfd):
+        """Force a violated invariant through the same reporting path."""
+        from drt_tpu.render.trace import _debug_check
+        _debug_check(jnp.array([True, False, False]), "forced")
+        jax.effects_barrier()
+        captured = capfd.readouterr()
+        assert "DRT_TPU_DEBUG VIOLATION [forced]: 2 lanes" in captured.out
