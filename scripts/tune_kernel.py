@@ -164,8 +164,9 @@ def main():
                 mesh_rows.append(row)
 
         # Phase 2: re-rank the best primary-oracle configs by the FULL
-        # forward trace — bounce-2/exit queries run the per-ray prepass
-        # regardless of pp (the coherence hint, intersect/api.py), so the
+        # forward trace — bounce-2/exit queries run the measured incoherent
+        # strategy (per-ray prepass, or Morton resort + tile prepass when
+        # reports/resort_ab.json says it wins; intersect/api.py), so the
         # winning (rt, tc) must be good for those too.
         import jax.numpy as jnp
         from drt_tpu.render.trace import render_transparent
@@ -176,11 +177,25 @@ def main():
             def make_fn(rt=row["ray_tile"], tc=row["tri_chunk"],
                         pp=row["prepass"], g=row.get("group", 1)):
                 def ifn(o, d, vert, fc, fv, coherent=True):
-                    return intersect_pallas(
-                        jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
-                        jax.lax.stop_gradient(vert), fc, fv, ray_tile=rt,
-                        tri_chunk=tc, prepass=(pp if coherent else "ray"),
-                        group=g)
+                    sg = jax.lax.stop_gradient
+                    base = dict(ray_tile=rt, tri_chunk=tc, group=g)
+                    if coherent:
+                        return intersect_pallas(sg(o), sg(d), sg(vert), fc,
+                                                fv, prepass=pp, **base)
+                    # incoherent queries route like production: the measured
+                    # winner from reports/resort_ab.json (api.auto), so the
+                    # fwd ranking reflects what the train step will run.
+                    from drt_tpu.intersect.api import _auto_incoherent
+                    if _auto_incoherent(fc.shape[0]) == "resort":
+                        import functools
+                        from drt_tpu.intersect.resort import \
+                            resorted_intersect
+                        return resorted_intersect(
+                            functools.partial(intersect_pallas,
+                                              prepass="tile", **base),
+                            sg(o), sg(d), sg(vert), fc, fv)
+                    return intersect_pallas(sg(o), sg(d), sg(vert), fc, fv,
+                                            prepass="ray", **base)
                 return ifn
 
             ifn = make_fn()
