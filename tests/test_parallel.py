@@ -220,3 +220,24 @@ def test_ray_arrays_actually_sharded(setup):
     assert len(sh.device_set) == 8
     shard_shapes = {s.data.shape for s in views_s.ray_dir.addressable_shards}
     assert shard_shapes == {(4, 256 // 8, 3)}
+
+
+def test_shard_mapped_resort_oracle_matches_brute(setup):
+    """The Morton-resort incoherent strategy (intersect/resort.py) under
+    shard_map: per-device local sort + tile-frustum prepass + scatter-back
+    must still equal the brute oracle on the 8-device mesh."""
+    from drt_tpu.intersect.brute import intersect_brute
+    from drt_tpu.parallel.sharding import shard_mapped_intersect
+    from tests.test_culled import scene_rays
+
+    _, ms, _ = setup
+    o, d = scene_rays(1024, seed=5)
+    mesh = make_ray_mesh(jax.devices()[:8])
+    fn = get_intersect_fn("pallas", incoherent="resort", interpret=True)
+    h = shard_mapped_intersect(fn, mesh)(
+        o, d, ms.vertices, ms.faces, ms.face_valid, coherent=False)
+    hb = intersect_brute(o, d, ms.vertices, ms.faces, ms.face_valid)
+    np.testing.assert_array_equal(np.asarray(h.hit), np.asarray(hb.hit))
+    both = np.asarray(hb.hit)
+    np.testing.assert_allclose(np.asarray(h.t)[both],
+                               np.asarray(hb.t)[both], rtol=1e-5, atol=1e-4)
