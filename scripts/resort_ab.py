@@ -38,6 +38,9 @@ CONFIGS = [
 
 
 def time_it(fn, *args, n=5):
+    """Per-call blocking: async dispatch with one trailing block can report
+    dispatch time, not execution (observed: a 65k-ray step 'measured' at
+    0.04 ms). Blocking each call costs ~us at these ms scales."""
     import jax
     out = fn(*args)
     jax.block_until_ready(out)
@@ -45,8 +48,7 @@ def time_it(fn, *args, n=5):
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        jax.block_until_ready(fn(*args))
     return (time.perf_counter() - t0) / n
 
 
@@ -102,8 +104,21 @@ def run_config(name, ply, resy, resx, iters):
             import numpy as np
             row["hit_mismatch_resort_vs_ray"] = int(
                 (np.asarray(h_ray.hit) != np.asarray(h_rs.hit)).sum())
-    row["winner"] = ("resort" if row["step_ms_resort"] < row["step_ms_ray"]
-                     else "ray")
+    # Plausibility guard (tune_kernel's 1000 Mrays/s rule): a step timing
+    # implying >1000 Mrays/s is a dispatch artifact, not a measurement —
+    # never let it pick the winner.
+    for strat in ("ray", "resort"):
+        ms = row[f"step_ms_{strat}"]
+        if ms > 0 and n_rays / (ms * 1e-3) > 1e9:
+            row[f"step_ms_{strat}_artifact"] = ms
+            row[f"step_ms_{strat}"] = float("inf")
+    if row["step_ms_ray"] == float("inf") \
+            and row["step_ms_resort"] == float("inf"):
+        row["winner"] = "ray"                    # no valid measurement
+    else:
+        row["winner"] = ("resort"
+                         if row["step_ms_resort"] < row["step_ms_ray"]
+                         else "ray")
     print(json.dumps(row), flush=True)
     return row
 
